@@ -1,0 +1,132 @@
+"""Configuration for the XNODE-WAN solver.
+
+The reference consumes a flat YAML dict and splits it *positionally* with
+``itertools.islice`` (first 13 keys -> config, next 7 -> setup, next 1 ->
+iterations; reference ``src/training.py:80-83``) and resolves the domain class
+with ``eval()`` (``src/training.py:84``). Here the same YAML key set
+(reference ``configs/cube_pde.yaml:1-24``) is parsed *by name* into a typed,
+hashable dataclass, and domains come from an explicit registry — no ``eval``,
+no ``globals()`` mutation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Mapping, Tuple
+
+import yaml
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """All hyperparameters of a solver run.
+
+    Field names match the reference YAML keys exactly
+    (reference ``configs/cube_pde.yaml``): the 13 "config" keys, the 7
+    "setup" keys, ``iterations`` and ``domain``.
+    """
+
+    # --- "config" block (reference src/training.py:81) ---
+    alpha: float = 1e8          # weight of init+boundary penalty (loss.py:92)
+    u_layers: int = 8           # depth of the ODE field MLP (model.py:70)
+    u_hidden_dim: int = 20      # XNODE hidden state width (model.py:66)
+    u_hidden_hidden_dim: int = 10  # ODE field MLP width (model.py:69)
+    v_layers: int = 9           # discriminator depth (model.py:31)
+    v_hidden_dim: int = 50      # discriminator width (model.py:32)
+    n1: int = 2                 # primal steps per outer iteration
+    n2: int = 1                 # adversarial steps per outer iteration
+    u_rate: float = 0.015       # Adam lr for the primal net
+    v_rate: float = 0.04        # Adam lr for the adversarial net
+    min_steps: int = 5          # min ODE steps over [T0, T] (dataset.py:13)
+    adjoint: bool = False       # rematerialized (checkpointed) scan backward
+    solver: str = "midpoint"    # fixed-step scheme: euler|midpoint|heun|rk4
+
+    # --- "setup" block (reference src/training.py:82) ---
+    dim: int = 5
+    N_t: int = 20               # sample times per path
+    N_r: int = 4000             # interior Monte-Carlo paths
+    N_b: int = 4000             # boundary Monte-Carlo points
+    T0: float = 0.0
+    T: float = 1.0
+    shape_param: Any = (-1.0, 1.0)  # (bot, top) for Hypercube, radius for spheres
+
+    # --- rest (reference src/training.py:83-84) ---
+    iterations: int = 1000
+    domain: str = "Hypercube"
+
+    # --- TPU-native extensions (not in the reference) ---
+    primal: str = "xnode"       # primal net family: "xnode" | "wan" (paper baseline)
+    tied_v: bool = True         # reference ties all hidden v-layers (model.py:37-39)
+    x64: bool = False           # f64 numerics-parity mode (reference is f64)
+    seed: int = 0
+    data_axis: str = "data"     # mesh axis the path batch is sharded over
+    p: float = 2.0              # L^p norm for error reporting
+
+    def __post_init__(self):
+        # Coerce numerics: PyYAML 1.1 parses exponent floats without a sign
+        # ("1.0e8") as *strings*; the reference YAML uses plain ints anyway.
+        for name in ("alpha", "u_rate", "v_rate", "T0", "T", "p"):
+            object.__setattr__(self, name, float(getattr(self, name)))
+        for name in ("u_layers", "u_hidden_dim", "u_hidden_hidden_dim",
+                     "v_layers", "v_hidden_dim", "n1", "n2", "min_steps",
+                     "dim", "N_t", "N_r", "N_b", "iterations", "seed"):
+            object.__setattr__(self, name, int(getattr(self, name)))
+        if isinstance(self.shape_param, list):
+            object.__setattr__(self, "shape_param", tuple(self.shape_param))
+        if self.u_layers < 1:
+            # The reference's num_layers==0 branch builds a Linear(in, in-1)
+            # with mismatched dims (model.py:138) and cannot run; reject it.
+            raise ValueError("u_layers must be >= 1")
+        if self.solver not in ("euler", "midpoint", "heun", "rk4"):
+            raise ValueError(f"unknown solver {self.solver!r}")
+        if self.primal not in ("xnode", "wan"):
+            raise ValueError(f"unknown primal model {self.primal!r}")
+
+    # Static substep count guaranteeing the fillt invariant (see sampling.py):
+    # stratified time grids have max gap <= 2*(T-T0)/N_t, so n_sub substeps
+    # per interval keep every ODE step <= (T-T0)/min_steps
+    # (the reference's fillt guarantee, dataset.py:13-32).
+    @property
+    def n_sub(self) -> int:
+        return max(1, -(-2 * self.min_steps // max(self.N_t, 1)))
+
+    @property
+    def time_span(self) -> Tuple[float, float]:
+        return (self.T0, self.T)
+
+    @classmethod
+    def from_dict(cls, params: Mapping[str, Any]) -> "SolverConfig":
+        """Build from a reference-style flat params dict (extra keys rejected)."""
+        names = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(params) - names
+        if unknown:
+            raise KeyError(f"unknown config keys: {sorted(unknown)}")
+        return cls(**dict(params))
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def replace(self, **kw) -> "SolverConfig":
+        return dataclasses.replace(self, **kw)
+
+    # Reference-compat views (src/training.py:80-83 "config"/"setup" split).
+    @property
+    def config(self) -> dict:
+        keys = ("alpha", "u_layers", "u_hidden_dim", "u_hidden_hidden_dim",
+                "v_layers", "v_hidden_dim", "n1", "n2", "u_rate", "v_rate",
+                "min_steps", "adjoint", "solver")
+        d = self.to_dict()
+        return {k: d[k] for k in keys}
+
+    @property
+    def setup(self) -> dict:
+        keys = ("dim", "N_t", "N_r", "N_b", "T0", "T", "shape_param")
+        d = self.to_dict()
+        return {k: d[k] for k in keys}
+
+
+def load_params(path: str) -> SolverConfig:
+    """Load a reference-style YAML params file (configs/cube_pde.yaml keys)."""
+    with open(path, "r") as fh:
+        raw = yaml.safe_load(fh)
+    return SolverConfig.from_dict(raw)

@@ -1,0 +1,42 @@
+"""Adversarial test-function network v_phi(t, x).
+
+Reference: ``src/model.py:18-51`` — ``Linear(d+1 -> v_hidden)`` followed by
+``v_layers`` repetitions of ``[ReLU, hidden]`` where ``hidden`` is a *single
+shared* ``nn.Linear`` instance (weights tied across depth,
+``src/model.py:37-39``), then ``Tanh`` and ``Linear(-> 1)``.
+
+``tied=True`` (default) preserves that weight-tying; ``tied=False`` gives the
+idiomatic untied stack.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from xnode_wan_tpu.models.layers import linear, linear_init, mlp_init
+
+
+def init_discriminator(key: jax.Array, dim: int, v_hidden: int, v_layers: int,
+                       tied: bool = True) -> Dict[str, Any]:
+    k_in, k_hid, k_out = jax.random.split(key, 3)
+    hidden = (linear_init(k_hid, v_hidden, v_hidden) if tied else
+              mlp_init(k_hid, [v_hidden] * (v_layers + 1)))
+    return {
+        "inp": linear_init(k_in, dim + 1, v_hidden),
+        "hidden": hidden,
+        "out": linear_init(k_out, v_hidden, 1),
+    }
+
+
+def apply_discriminator(params: Dict[str, Any], pts: jax.Array,
+                        v_layers: int, tied: bool = True) -> jax.Array:
+    """Evaluate v at points ``pts [..., d+1]`` -> ``[...]``."""
+    z = linear(params["inp"], pts)
+    for i in range(v_layers):
+        layer = params["hidden"] if tied else params["hidden"][i]
+        z = linear(layer, jax.nn.relu(z))
+    z = linear(params["out"], jnp.tanh(z))
+    return z[..., 0]

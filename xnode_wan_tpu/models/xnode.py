@@ -1,0 +1,116 @@
+"""XNODE primal network: a neural ODE integrated along each sample path,
+seeded with the PDE's known initial/boundary data.
+
+Reference: ``src/model.py:54-156`` —
+
+* ``initial_layers``: scalar -> hidden lift MLP
+  (``Linear(1,H), ReLU, Linear(H,H), ReLU, Linear(H,H)``, ``:78``),
+* ``_ODEField``: the field ``F`` with input ``(x, t, h)``
+  (``Linear(H+d+1, Hh), [ReLU, Linear]*(layers-1), Tanh, Linear(Hh, H)``,
+  ``:115-141``; input ordering from ``_F.forward``, ``:153-156``),
+* ``final_linear``: hidden -> scalar readout (``:85``),
+* seeding: ``h(x)`` when the path starts at ``T0``, else ``g`` at the path's
+  boundary-entry point (``:95-96`` — the "X" in XNODE).
+
+The reference's three odeint variants (shared grid / index-select /
+per-group Python loop, ``:103-106``) and its single-point-at-``T0`` shortcut
+(``:89-91``) all collapse into the one masked scan of
+``ops/integrate.py`` — a zero-width first interval reproduces the shortcut
+exactly (``dt = 0`` leaves the lifted seed untouched).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from xnode_wan_tpu.config import SolverConfig
+from xnode_wan_tpu.models.layers import linear, linear_init, mlp_init
+from xnode_wan_tpu.ops.integrate import integrate
+from xnode_wan_tpu.ops.sampling import PathBatch
+
+
+def init_xnode(key: jax.Array, cfg: SolverConfig) -> Dict[str, Any]:
+    k_lift, k_field, k_out = jax.random.split(key, 3)
+    h, hh, d = cfg.u_hidden_dim, cfg.u_hidden_hidden_dim, cfg.dim
+    field_dims = [h + d + 1] + [hh] * cfg.u_layers + [h]
+    return {
+        "lift": mlp_init(k_lift, [1, h, h, h]),
+        "field": mlp_init(k_field, field_dims),
+        "readout": linear_init(k_out, h, 1),
+    }
+
+
+def lift_apply(params: Dict[str, Any], seed: jax.Array) -> jax.Array:
+    """Scalar seed ``[..., 1]`` -> hidden state ``[..., H]``."""
+    layers = params["lift"]
+    z = linear(layers[0], seed)
+    for layer in layers[1:]:
+        z = linear(layer, jax.nn.relu(z))
+    return z
+
+
+def field_apply(params: Dict[str, Any], x: jax.Array, t: jax.Array,
+                h: jax.Array) -> jax.Array:
+    """ODE field ``F(x, t, h) -> dh/dt``; ``x [N,d], t [N], h [N,H]``."""
+    layers = params["field"]
+    z = jnp.concatenate([x, t[:, None], h], axis=-1)
+    z = linear(layers[0], z)
+    for layer in layers[1:-1]:
+        z = linear(layer, jax.nn.relu(z))
+    return linear(layers[-1], jnp.tanh(z))
+
+
+def apply_xnode(params: Dict[str, Any], batch: PathBatch, problem,
+                cfg: SolverConfig) -> jax.Array:
+    """Evaluate u at every sample point of ``batch`` -> ``u [N, L]``.
+
+    The path's spatial coords are frozen at its first point
+    (reference ``src/model.py:99``: ``_F(ODE_rhs, inputs[:, 0, 1:])``).
+    """
+    xs = batch.space[:, 0, :]                       # [N, d]
+    first_pts = batch.x[:, 0, :]                    # [N, C]
+    seed_h = problem.h(first_pts)
+    entry_pts = jnp.concatenate(
+        [batch.t_start.astype(xs.dtype)[:, None], xs], axis=-1)
+    seed_g = problem.g(entry_pts)
+    seed = jnp.where(batch.seed_from_h, seed_h, seed_g)[:, None]
+    h0 = lift_apply(params, seed)
+
+    def field(t, h):
+        return field_apply(params, xs, t, h)
+
+    hs = integrate(field, h0, batch.times, batch.t_start, batch.mask,
+                   n_sub=cfg.n_sub, method=cfg.solver, remat=cfg.adjoint)
+    return linear(params["readout"], hs)[..., 0]    # [N, L]
+
+
+def evaluate_points(params: Dict[str, Any], pts: jax.Array, problem,
+                    cfg: SolverConfig, k_steps: int | None = None) -> jax.Array:
+    """Evaluate u at arbitrary space-time points ``pts [M, C]``.
+
+    Each point becomes a fresh path integrated from ``T0`` with ``k_steps``
+    uniform intervals and the ``h``-seed — the honest version of the
+    reference's direct-point-eval recipe (``README.md:32-35``,
+    ``bound_pad`` + ``fillt`` at ``src/model.py:92-94``). Used by the
+    contour plots and ad-hoc inference.
+    """
+    if k_steps is None:
+        k_steps = max(cfg.min_steps, cfg.N_t)
+    m = pts.shape[0]
+    t = pts[:, 0]
+    frac = jnp.linspace(0.0, 1.0, k_steps + 1, dtype=pts.dtype)
+    times = cfg.T0 + frac[None, :] * (t[:, None] - cfg.T0)   # [M, K+1]
+    x_full = jnp.concatenate(
+        [times[:, :, None],
+         jnp.broadcast_to(pts[:, None, 1:], (m, k_steps + 1, pts.shape[1] - 1))],
+        axis=-1)
+    batch = PathBatch(
+        x=x_full,
+        mask=jnp.ones((m, k_steps + 1), dtype=bool),
+        t_start=jnp.full((m,), cfg.T0, dtype=pts.dtype),
+        seed_from_h=jnp.ones((m,), dtype=bool),
+    )
+    return apply_xnode(params, batch, problem, cfg)[:, -1]

@@ -1,0 +1,400 @@
+"""On-device Monte-Carlo samplers for the PDE domains.
+
+Reference: ``src/dataset.py`` (Hypercube :232-290, NSphere_TCone :162-229,
+NSphere_THourglass :48-159, Comb_loader :293-322, fillt :13-32).
+
+TPU-native redesign
+-------------------
+The reference produces *ragged* path groups (lists of ``[n_k, L_k, d+1]``
+tensors, one odeint call each) and densifies time grids at runtime with
+``fillt``. Both are hostile to XLA (dynamic shapes, Python loops). Here:
+
+* Every sampler emits a single static-shape :class:`PathBatch`:
+  ``x: [N, L, C]`` (time at channel 0), a boolean validity ``mask [N, L]``,
+  a per-path integration start time ``t_start [N]`` and a per-path seed
+  selector ``seed_from_h [N]``. Raggedness becomes masking; the whole batch
+  is one fused XLA program and shards over the mesh batch axis.
+
+* Sample times are **stratified** (one uniform draw per bin of width
+  ``(T-T0)/N_t``) instead of the reference's sorted-uniform + ``fillt``
+  densification. A stratified grid has max gap ``<= 2(T-T0)/N_t``, so a
+  *static* count of ``n_sub = ceil(2*min_steps/N_t)`` integrator substeps
+  per interval guarantees the reference's fillt invariant (every ODE step
+  ``<= (T-T0)/min_steps``, reference ``src/dataset.py:13-32``) with zero
+  dynamic shapes — and is lower-variance for the quadrature.
+
+* The hourglass domain's exit/re-entry path splitting (reference
+  ``src/dataset.py:81-104``) becomes two static row blocks: rows ``[0, N_r)``
+  are the from-``T0`` segments, rows ``[N_r, 2 N_r)`` are the boundary-
+  re-entry segments (``t_start = |x|/r``, seeded from ``g`` — the reference's
+  ``pad`` + ``bound_pad`` logic, ``src/dataset.py:77-79,127-152``), masked
+  dead where a path never exits.
+
+* Time-sliced boundary sampling with data-dependent counts
+  ``n_l ∝ R(t_l)^d`` (reference ``src/dataset.py:203-214``) becomes
+  inverse-CDF sampling of ``t`` with density ``∝ R(t)^d`` — the same
+  distribution at a static ``N_b``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class PathBatch:
+    """A static-shape batch of space-time sample paths.
+
+    Layout contract (reference ``README.md:33``): ``x[N, L, C]`` with
+    ``C = dim + 1``, time at channel 0, spatial coords constant along
+    each path's time axis.
+    """
+
+    x: jax.Array            # [N, L, C]
+    mask: jax.Array         # [N, L] bool — sample validity
+    t_start: jax.Array      # [N]   — ODE integration start time
+    seed_from_h: jax.Array  # [N] bool — seed from h(x) (else g(t_start, x))
+
+    @property
+    def times(self) -> jax.Array:
+        return self.x[:, :, 0]
+
+    @property
+    def space(self) -> jax.Array:
+        return self.x[:, :, 1:]
+
+    @property
+    def n_paths(self) -> int:
+        return self.x.shape[0]
+
+    @property
+    def n_times(self) -> int:
+        return self.x.shape[1]
+
+
+def _fdtype() -> jnp.dtype:
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+def stratified_times(key: jax.Array, T0: float, T: float, n: int) -> jax.Array:
+    """Sorted time grid: one uniform draw per bin, endpoints pinned.
+
+    Replaces the reference's sorted ``uniform(T0, T)`` grid with pinned
+    endpoints (``src/dataset.py:248-249``). Stratification bounds the max
+    gap by ``2(T-T0)/n`` so no runtime ``fillt`` densification is needed.
+    """
+    dt = _fdtype()
+    u = jax.random.uniform(key, (n,), dtype=dt)
+    i = jnp.arange(n, dtype=dt)
+    t = T0 + (i + u) * (T - T0) / n
+    t = t.at[0].set(T0).at[-1].set(T)
+    return t
+
+
+def _unit_sphere(key: jax.Array, n: int, dim: int) -> jax.Array:
+    """Uniform directions on S^{dim-1} (reference ``surf``, dataset.py:64-68)."""
+    g = jax.random.normal(key, (n, dim), dtype=_fdtype())
+    return g / jnp.linalg.norm(g, axis=-1, keepdims=True)
+
+
+def _ball(key: jax.Array, n: int, dim: int, radius: float) -> jax.Array:
+    """Uniform points in a ball (reference dataset.py:82-83: surf * U^{1/d})."""
+    k1, k2 = jax.random.split(key)
+    dirs = _unit_sphere(k1, n, dim)
+    u = jax.random.uniform(k2, (n, 1), dtype=_fdtype())
+    return radius * dirs * u ** (1.0 / dim)
+
+
+def _assemble(times_nl: jax.Array, x_spatial: jax.Array) -> jax.Array:
+    """Broadcast per-path times [N,L] and spatial coords [N,d] into [N,L,C]."""
+    n, l = times_nl.shape
+    xs = jnp.broadcast_to(x_spatial[:, None, :], (n, l, x_spatial.shape[-1]))
+    return jnp.concatenate([times_nl[:, :, None], xs], axis=-1)
+
+
+@dataclasses.dataclass(frozen=True)
+class Hypercube:
+    """Time-independent box ``[bot, top]^d`` (reference ``src/dataset.py:232-290``)."""
+
+    shape_param: Tuple[float, float]  # (bot, top)
+    dim: int
+    T0: float
+    T: float
+    N_t: int
+
+    def __post_init__(self):
+        bot, top = self.shape_param
+        assert top > bot, "The hypercube needs to have volume"
+
+    @property
+    def bot(self) -> float:
+        return float(self.shape_param[0])
+
+    @property
+    def top(self) -> float:
+        return float(self.shape_param[1])
+
+    def interior_rows(self, n_r: int) -> int:
+        return n_r
+
+    def boundary_len(self) -> int:
+        return self.N_t
+
+    def interior(self, key: jax.Array, n_r: int) -> PathBatch:
+        """Uniform spatial points replicated over a shared stratified grid
+        (reference ``src/dataset.py:246-255``)."""
+        kt, kx = jax.random.split(key)
+        times = stratified_times(kt, self.T0, self.T, self.N_t)
+        x = jax.random.uniform(kx, (n_r, self.dim), dtype=_fdtype(),
+                               minval=self.bot, maxval=self.top)
+        times_nl = jnp.broadcast_to(times[None, :], (n_r, self.N_t))
+        return PathBatch(
+            x=_assemble(times_nl, x),
+            mask=jnp.ones((n_r, self.N_t), dtype=bool),
+            t_start=jnp.full((n_r,), self.T0, dtype=_fdtype()),
+            seed_from_h=jnp.ones((n_r,), dtype=bool),
+        )
+
+    def boundary(self, key: jax.Array, n_b: int) -> PathBatch:
+        """One face coordinate pinned per path (reference ``src/dataset.py:257-276``).
+
+        Faces are assigned round-robin (``i % 2d``) instead of the
+        reference's contiguous blocks + shuffle — same marginal
+        distribution, exactly balanced counts.
+        """
+        kt, kx, kf = jax.random.split(key, 3)
+        times = stratified_times(kt, self.T0, self.T, self.N_t)
+        x = jax.random.uniform(kx, (n_b, self.dim), dtype=_fdtype(),
+                               minval=self.bot, maxval=self.top)
+        face = jnp.arange(n_b) % (2 * self.dim)
+        axis = face // 2
+        val = jnp.where(face % 2 == 0, self.top, self.bot).astype(_fdtype())
+        x = x.at[jnp.arange(n_b), axis].set(val)
+        times_nl = jnp.broadcast_to(times[None, :], (n_b, self.N_t))
+        return PathBatch(
+            x=_assemble(times_nl, x),
+            mask=jnp.ones((n_b, self.N_t), dtype=bool),
+            t_start=jnp.full((n_b,), self.T0, dtype=_fdtype()),
+            seed_from_h=jnp.ones((n_b,), dtype=bool),
+        )
+
+    def func_w(self, x: jax.Array) -> jax.Array:
+        """Min distance to any face (reference ``src/dataset.py:278-282``)."""
+        xs = x[..., 1:]
+        dist = jnp.minimum(jnp.abs(self.top - xs), jnp.abs(xs - self.bot))
+        return jnp.min(dist, axis=-1)
+
+    def V(self) -> float:
+        return (self.top - self.bot) ** self.dim * (self.T - self.T0)
+
+
+def _ball_volume_coef(dim: int) -> float:
+    return math.pi ** (dim / 2) / math.gamma(dim / 2 + 1)
+
+
+@dataclasses.dataclass(frozen=True)
+class NSphereTCone:
+    """Shrinking sphere of radius ``r (1 - t)`` (reference ``src/dataset.py:162-229``).
+
+    Time-varying domain; paths start inside at ``T0`` and leave when the
+    boundary sweeps past them — the reference's reverse-time binning into
+    ragged groups (``:185-201``) becomes the mask ``t < 1 - |x|/r``.
+    """
+
+    shape_param: float  # radius r
+    dim: int
+    T0: float
+    T: float
+    N_t: int
+
+    @property
+    def r(self) -> float:
+        return float(self.shape_param)
+
+    def interior_rows(self, n_r: int) -> int:
+        return n_r
+
+    def boundary_len(self) -> int:
+        return 1
+
+    def interior(self, key: jax.Array, n_r: int) -> PathBatch:
+        kt, kx = jax.random.split(key)
+        times = stratified_times(kt, self.T0, self.T, self.N_t)
+        x = _ball(kx, n_r, self.dim, self.r)
+        # Inside while r(1 - t) > |x|  (reference mask, dataset.py:192-195).
+        t_exit = 1.0 - jnp.linalg.norm(x, axis=-1) / self.r
+        mask = times[None, :] < t_exit[:, None]
+        mask = mask.at[:, 0].set(True)  # all paths valid at T0
+        times_nl = jnp.broadcast_to(times[None, :], (n_r, self.N_t))
+        return PathBatch(
+            x=_assemble(times_nl, x),
+            mask=mask,
+            t_start=jnp.full((n_r,), self.T0, dtype=_fdtype()),
+            seed_from_h=jnp.ones((n_r,), dtype=bool),
+        )
+
+    def boundary(self, key: jax.Array, n_b: int) -> PathBatch:
+        """Single-time boundary points with ``t``-density ``∝ (1-t)^d``.
+
+        Inverse-CDF replacement for the reference's per-time-slice counts
+        ``n_l = int(N_b (1-t_l)^d)`` (``src/dataset.py:203-214``): same
+        distribution, static shape ``[N_b, 1, C]``.
+        """
+        kt, kd = jax.random.split(key)
+        d1 = self.dim + 1
+        u = jax.random.uniform(kt, (n_b,), dtype=_fdtype())
+        hi = (1.0 - self.T0) ** d1
+        lo = (1.0 - self.T) ** d1
+        t = 1.0 - (hi - u * (hi - lo)) ** (1.0 / d1)
+        dirs = _unit_sphere(kd, n_b, self.dim)
+        x = dirs * (self.r * (1.0 - t))[:, None]
+        return PathBatch(
+            x=_assemble(t[:, None], x),
+            mask=jnp.ones((n_b, 1), dtype=bool),
+            t_start=t,
+            seed_from_h=jnp.zeros((n_b,), dtype=bool),
+        )
+
+    def func_w(self, x: jax.Array) -> jax.Array:
+        """``r(1 - t) - |x|`` (reference ``src/dataset.py:216-218``)."""
+        dist = jnp.linalg.norm(x[..., 1:], axis=-1)
+        return self.r * (1.0 - x[..., 0]) - dist
+
+    def V(self) -> float:
+        d1 = self.dim + 1
+        timecomp = ((1 - self.T0) ** d1 - (1 - self.T) ** d1) / d1
+        return _ball_volume_coef(self.dim) * self.r ** self.dim * timecomp
+
+
+@dataclasses.dataclass(frozen=True)
+class NSphereTHourglass:
+    """Sphere of radius ``r((T-T0) - t)`` then ``r t`` — shrink, then regrow
+    (reference ``src/dataset.py:48-159``).
+
+    Paths can exit and re-enter. Reference splits each path into ragged
+    entry/exit segments re-padded to their boundary-entry time
+    (``:77-79,81-104,127-152``); here the interior batch has ``2 N_r``
+    static rows: the first ``N_r`` are from-``T0`` segments masked dead
+    after exit, the second ``N_r`` are re-entry segments with
+    ``t_start = |x|/r``, seeded from ``g`` and masked dead before re-entry
+    (or entirely, for paths that never exit).
+    """
+
+    shape_param: float  # radius scale r
+    dim: int
+    T0: float
+    T: float
+    N_t: int
+
+    @property
+    def r(self) -> float:
+        return float(self.shape_param)
+
+    @property
+    def mid(self) -> float:
+        return (self.T - self.T0) / 2.0
+
+    def radius_at(self, t: jax.Array) -> jax.Array:
+        span = self.T - self.T0
+        return self.r * jnp.where(t <= self.mid, span - t, t)
+
+    def interior_rows(self, n_r: int) -> int:
+        return 2 * n_r
+
+    def boundary_len(self) -> int:
+        return 1
+
+    def interior(self, key: jax.Array, n_r: int) -> PathBatch:
+        kt, kx = jax.random.split(key)
+        span = self.T - self.T0
+        times = stratified_times(kt, self.T0, self.T, self.N_t)
+        x = _ball(kx, n_r, self.dim, self.r * span)
+        rho = jnp.linalg.norm(x, axis=-1)
+        never_exits = rho <= self.r * self.mid
+        t_exit = jnp.where(never_exits, jnp.inf, span - rho / self.r)
+        t_re = rho / self.r
+        # Segment A: from T0 until the shrinking boundary passes the point.
+        mask_a = times[None, :] < t_exit[:, None]
+        mask_a = mask_a.at[:, 0].set(True)
+        # Segment B: after the growing boundary re-absorbs it (only if it exited).
+        mask_b = (times[None, :] > t_re[:, None]) & (~never_exits)[:, None]
+        times_nl = jnp.broadcast_to(times[None, :], (n_r, self.N_t))
+        return PathBatch(
+            x=jnp.concatenate([_assemble(times_nl, x)] * 2, axis=0),
+            mask=jnp.concatenate([mask_a, mask_b], axis=0),
+            t_start=jnp.concatenate(
+                [jnp.full((n_r,), self.T0, dtype=_fdtype()),
+                 jnp.asarray(t_re, dtype=_fdtype())]),
+            seed_from_h=jnp.concatenate(
+                [jnp.ones((n_r,), dtype=bool), jnp.zeros((n_r,), dtype=bool)]),
+        )
+
+    def boundary(self, key: jax.Array, n_b: int) -> PathBatch:
+        """Boundary points with ``t``-density ``∝ R(t)^d`` via piecewise
+        inverse CDF (reference's per-slice counts, ``src/dataset.py:106-117``)."""
+        kt, kd = jax.random.split(key)
+        d1 = self.dim + 1
+        span = self.T - self.T0
+        mid = self.mid
+        # CDF on the descending branch: ((span-T0)^{d+1} - (span-t)^{d+1})/(d+1)
+        c_mid = ((span - self.T0) ** d1 - (span - mid) ** d1) / d1
+        c_tot = c_mid + (self.T ** d1 - mid ** d1) / d1
+        u = jax.random.uniform(kt, (n_b,), dtype=_fdtype()) * c_tot
+        t_desc = span - ((span - self.T0) ** d1 - u * d1) ** (1.0 / d1)
+        t_asc = ((u - c_mid) * d1 + mid ** d1) ** (1.0 / d1)
+        t = jnp.where(u <= c_mid, t_desc, t_asc)
+        dirs = _unit_sphere(kd, n_b, self.dim)
+        x = dirs * self.radius_at(t)[:, None]
+        return PathBatch(
+            x=_assemble(t[:, None], x),
+            mask=jnp.ones((n_b, 1), dtype=bool),
+            t_start=t,
+            seed_from_h=jnp.zeros((n_b,), dtype=bool),
+        )
+
+    def func_w(self, x: jax.Array) -> jax.Array:
+        """Piecewise ``R(t) - |x|`` (reference ``src/dataset.py:119-125``)."""
+        dist = jnp.linalg.norm(x[..., 1:], axis=-1)
+        return self.radius_at(x[..., 0]) - dist
+
+    def V(self) -> float:
+        # ∫ c_d R(t)^d dt over both branches. Matches the reference's
+        # hardcoded formula (src/dataset.py:154-159) for T0=0, T=1.
+        d1 = self.dim + 1
+        span = self.T - self.T0
+        mid = self.mid
+        desc = ((span - self.T0) ** d1 - (span - mid) ** d1) / d1
+        asc = (self.T ** d1 - mid ** d1) / d1
+        return _ball_volume_coef(self.dim) * self.r ** self.dim * (desc + asc)
+
+
+DOMAIN_REGISTRY = {
+    "Hypercube": Hypercube,
+    "NSphere_TCone": NSphereTCone,
+    "NSphereTCone": NSphereTCone,
+    "NSphere_THourglass": NSphereTHourglass,
+    "NSphereTHourglass": NSphereTHourglass,
+}
+
+
+def make_domain(name: str, shape_param, dim: int, T0: float, T: float, N_t: int):
+    """Registry-based domain construction (replaces the reference's
+    ``eval(params['domain'])``, ``src/training.py:84``)."""
+    try:
+        cls = DOMAIN_REGISTRY[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown domain {name!r}; available: {sorted(set(DOMAIN_REGISTRY))}"
+        ) from None
+    if cls is Hypercube:
+        shape_param = tuple(shape_param)
+    else:
+        if isinstance(shape_param, (tuple, list)):
+            shape_param = float(shape_param[-1])
+    return cls(shape_param, dim, float(T0), float(T), int(N_t))

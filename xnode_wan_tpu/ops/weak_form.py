@@ -1,0 +1,185 @@
+"""Weak-form adversarial loss: Monte-Carlo estimate of <A[u], v*w> and the
+log-ratio min-max objectives.
+
+Reference: ``src/loss.py:12-96``. Terms (``:46-76``):
+
+* ``s1`` — temporal boundary term ``V (u_T v_T - h v_0) / N`` from
+  integration by parts in time (``:64``), evaluated at each path's first and
+  last valid sample,
+* ``s2`` — ``V u d_t(phi) / (N L)`` (``:65``),
+* ``s3`` — diffusion ``sum_ij a_ij d_i(phi) d_j(u)``, drift
+  ``sum_i b_i phi d_i(u)``, reaction+source ``(c u + f) phi`` (``:66-70``),
+* ``I = sum_n s1 - sum_nl (s2 - s3)``; objectives
+  ``int = log I^2 - log(V sum v^2 / M)`` (``:87-90``),
+  ``loss_u = int + alpha (init + bdry)`` (``:92-93``), ``loss_v = -int``.
+
+Deviations from the reference (all deliberate, flagged in SURVEY.md):
+
+* **Pointwise derivatives.** The reference extracts ``du`` via
+  ``.backward(ones)`` into ``X.grad`` (``:55-58``), which for the XNODE
+  concentrates all sensitivity at time index 0 (SURVEY §3.5). Here
+  ``grad_x u`` is computed honestly with ``jax.linearize`` through the scan
+  integrator (one nonlinear + d linear passes), and ``(d_t, grad_x) phi``
+  with reverse-mode per point — the paper's actual math.
+* **Shared sample points.** For single-group domains the reference draws
+  *independent* u/v interior clouds (``src/dataset.py:308-310``) yet
+  multiplies their pointwise values — an artifact of torch ``.grad``
+  aliasing. u and v are evaluated at the same points here (what the
+  reference itself does for multi-group domains).
+* **Global masked quadrature.** Ragged groups each got weight
+  ``V/(N_g L_g)`` and a separate optimizer step; here every valid sample
+  carries weight ``V/M`` in one estimator (identical for the hypercube,
+  uniform-over-domain for the others).
+* **init restricted to h-seeded paths** (the reference also penalizes
+  ``u(t_re) = h(x)`` on boundary re-entry segments — a group-loop artifact).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from xnode_wan_tpu.config import SolverConfig
+from xnode_wan_tpu.ops.coefficients import diffusion_term, drift_term
+from xnode_wan_tpu.ops.sampling import PathBatch, _assemble
+
+
+def u_with_spatial_grad(u_apply: Callable, u_params, batch: PathBatch,
+                        problem, cfg: SolverConfig
+                        ) -> Tuple[jax.Array, jax.Array]:
+    """u values ``[N, L]`` and pointwise spatial gradients ``[N, L, d]``.
+
+    Forward-mode through the integrator: one nonlinear scan plus ``d``
+    linearized passes (``jax.linearize`` + vmapped tangents), each a full
+    ``[N, ...]``-batched scan on the MXU.
+    """
+    xs0 = batch.space[:, 0, :]  # [N, d]
+
+    def u_of(xs):
+        b = batch.replace(x=_assemble(batch.times, xs))
+        return u_apply(u_params, b, problem, cfg)
+
+    u, lin = jax.linearize(u_of, xs0)
+    basis = jnp.eye(xs0.shape[-1], dtype=xs0.dtype)
+
+    def tangent(e):
+        return lin(jnp.broadcast_to(e, xs0.shape))
+
+    du = jax.vmap(tangent)(basis)            # [d, N, L]
+    return u, jnp.moveaxis(du, 0, -1)        # [N, L, d]
+
+
+def v_phi_and_grads(v_apply: Callable, v_params, pts: jax.Array,
+                    func_w: Callable) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """v, phi = v*w, and pointwise ``(d_t, grad_x) phi`` at ``pts [N, L, C]``.
+
+    Returns ``v [N,L]``, ``phi [N,L]``, ``dphi [N,L,C]`` (channel 0 = time).
+    """
+    n, l, c = pts.shape
+    flat = pts.reshape(-1, c)
+
+    def phi_point(p):
+        return v_apply(v_params, p) * func_w(p)
+
+    phi_flat, dphi_flat = jax.vmap(jax.value_and_grad(phi_point))(flat)
+    v = v_apply(v_params, pts)
+    return v, phi_flat.reshape(n, l), dphi_flat.reshape(n, l, c)
+
+
+def _endpoint_indices(mask: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-path first/last valid time index and row-validity."""
+    l = mask.shape[1]
+    first = jnp.argmax(mask, axis=1)
+    last = l - 1 - jnp.argmax(mask[:, ::-1], axis=1)
+    return first, last, mask.any(axis=1)
+
+
+def interior_terms(u: jax.Array, du: jax.Array, v: jax.Array, phi: jax.Array,
+                   dphi: jax.Array, batch: PathBatch, problem, domain
+                   ) -> Tuple[jax.Array, jax.Array]:
+    """The operator estimate ``I`` and the test-norm ``V sum v^2 / M``."""
+    dtype = u.dtype
+    m = batch.mask.astype(dtype)
+    big_m = jnp.maximum(m.sum(), 1.0)
+    vol = jnp.asarray(domain.V(), dtype)
+
+    first, last, row_valid = _endpoint_indices(batch.mask)
+    rows = jnp.arange(u.shape[0])
+    n_valid = jnp.maximum(row_valid.astype(dtype).sum(), 1.0)
+
+    first_pts = batch.x[rows, first]                       # [N, C]
+    h_vals = problem.h(first_pts)
+    s1 = (u[rows, last] * v[rows, last] - h_vals * v[rows, first])
+    s1 = vol * jnp.sum(s1 * row_valid) / n_valid           # loss.py:64
+
+    s2 = vol * jnp.sum(u * dphi[..., 0] * m) / big_m       # loss.py:65
+
+    X = batch.x
+    c_vals = problem.c(X, u)
+    f_vals = problem.f(X)
+    s3f = (diffusion_term(problem, X, dphi[..., 1:], du)
+           + drift_term(problem, X, phi, du)
+           + c_vals * u * phi + f_vals * phi)              # loss.py:66-70
+    s3 = vol * jnp.sum(s3f * m) / big_m
+
+    current = s1 - s2 + s3                                 # loss.py:73
+    norm = vol * jnp.sum(v * v * m) / big_m                # loss.py:89
+    return current, norm
+
+
+def init_loss(u: jax.Array, batch: PathBatch, problem) -> jax.Array:
+    """``mean (u(T0, x) - h(x))^2`` over h-seeded paths (loss.py:78-80)."""
+    first, _, row_valid = _endpoint_indices(batch.mask)
+    rows = jnp.arange(u.shape[0])
+    h_vals = problem.h(batch.x[rows, first])
+    w = (batch.seed_from_h & row_valid).astype(u.dtype)
+    sq = (u[rows, first] - h_vals) ** 2
+    return jnp.sum(sq * w) / jnp.maximum(w.sum(), 1.0)
+
+
+def bdry_loss(u_apply: Callable, u_params, bbatch: PathBatch, problem,
+              cfg: SolverConfig) -> jax.Array:
+    """``mean (u(BX) - g(BX))^2`` over valid boundary samples (loss.py:83-85)."""
+    u_b = u_apply(u_params, bbatch, problem, cfg)
+    g_vals = problem.g(bbatch.x)
+    m = bbatch.mask.astype(u_b.dtype)
+    return jnp.sum((u_b - g_vals) ** 2 * m) / jnp.maximum(m.sum(), 1.0)
+
+
+def make_losses(problem, domain, cfg: SolverConfig, u_apply: Callable,
+                v_apply: Callable):
+    """Build the two objectives.
+
+    ``loss_u(u_params, v_params, batch, bbatch)`` — minimized by the primal
+    net (reference ``loss.u``, loss.py:92-93).
+    ``loss_v(v_params, u_params, batch)`` — minimized by the adversary
+    (reference ``loss.v``, loss.py:95-96).
+    Both return ``(loss, aux_dict)``.
+    """
+
+    def int_objective(u_params, v_params, batch):
+        u, du = u_with_spatial_grad(u_apply, u_params, batch, problem, cfg)
+        v, phi, dphi = v_phi_and_grads(v_apply, v_params, batch.x,
+                                       domain.func_w)
+        current, norm = interior_terms(u, du, v, phi, dphi, batch, problem,
+                                       domain)
+        int_loss = jnp.log(current ** 2) - jnp.log(norm)   # loss.py:87-90
+        return int_loss, u, {"I": current, "norm": norm, "int": int_loss}
+
+    def loss_u(u_params, v_params, batch, bbatch):
+        int_loss, u, aux = int_objective(u_params, v_params, batch)
+        init = init_loss(u, batch, problem)
+        bdry = bdry_loss(u_apply, u_params, bbatch, problem, cfg)
+        total = int_loss + cfg.alpha * (init + bdry)
+        aux = dict(aux, init=init, bdry=bdry, loss_u=total)
+        return total, aux
+
+    def loss_v(v_params, u_params, batch):
+        int_loss, _, aux = int_objective(u_params, v_params, batch)
+        total = -int_loss
+        aux = dict(aux, loss_v=total)
+        return total, aux
+
+    return loss_u, loss_v

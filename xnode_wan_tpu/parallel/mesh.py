@@ -1,0 +1,59 @@
+"""Device-mesh data parallelism.
+
+The reference's only parallelism is single-process ``torch.nn.DataParallel``
+(replicate modules, scatter the batch over local GPUs; reference
+``src/training.py:93-97``). The TPU-native equivalent: a 1-D
+``jax.sharding.Mesh`` over all chips with the Monte-Carlo path axis ``N``
+sharded (``P('data')``) and parameters replicated. The whole outer step is
+one ``jit``-compiled SPMD program — XLA inserts the ``psum``s for the loss
+reductions over ICI; there is no host-side scatter/gather.
+
+Scaling beyond data parallelism is unnecessary at this model scale
+(MLPs <= 50 wide — see SURVEY §2), but the sharding helpers take the axis
+name from config so a 2-D mesh can be threaded through later.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from xnode_wan_tpu.ops.sampling import PathBatch
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
+              axis: str = "data") -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    import numpy as np
+    return Mesh(np.array(devices), (axis,))
+
+
+def round_up(n: int, k: int) -> int:
+    return -(-n // k) * k
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> PathBatch:
+    """Per-leaf NamedShardings for a PathBatch: path axis sharded."""
+    def s(*spec):
+        return NamedSharding(mesh, P(*spec))
+    return PathBatch(
+        x=s(axis, None, None), mask=s(axis, None),
+        t_start=s(axis), seed_from_h=s(axis),
+    )
+
+
+def shard_batch(batch: PathBatch, mesh: Optional[Mesh],
+                axis: str = "data") -> PathBatch:
+    """Constrain a sampled batch onto the mesh (inside jit)."""
+    if mesh is None or mesh.size == 1:
+        return batch
+    shardings = batch_sharding(mesh, axis)
+    return jax.tree.map(jax.lax.with_sharding_constraint, batch, shardings)
+
+
+def replicated(mesh: Optional[Mesh]):
+    if mesh is None:
+        return None
+    return NamedSharding(mesh, P())

@@ -1,0 +1,293 @@
+"""The XNODE-WAN solver: alternating primal/adversarial training.
+
+Reference: ``src/training.py:54-187`` (``NODE_WAN_solver``). The reference's
+outer iteration — resample the domain on the host, run ``n1`` primal Adam
+steps and ``n2`` adversarial Adam steps over ragged path groups, then
+evaluate the L^p error — becomes **one jitted SPMD program**
+(:meth:`NODEWANSolver._outer_step`):
+
+* on-device ``jax.random`` sampling (no host->device transfers of data),
+* ``n1`` + ``n2`` optax Adam updates, statically unrolled,
+* fresh-sample L^p / relative error evaluation (reference
+  ``src/training.py:164-167``),
+* the Monte-Carlo path axis sharded over the device mesh
+  (replacing ``torch.nn.DataParallel``, ``src/training.py:93-97``).
+
+Host-side per iteration there is only: metric fetch (pipelined one step
+behind), JSON artifact logging, best-checkpoint saving and the stop
+criterion — all off the device hot path. The early-stop saves and *returns*
+instead of the reference's hard ``exit()`` (``src/training.py:142-145``).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Any, Callable, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from xnode_wan_tpu.config import SolverConfig
+from xnode_wan_tpu.models.discriminator import (apply_discriminator,
+                                                init_discriminator)
+from xnode_wan_tpu.models import wan as wan_model
+from xnode_wan_tpu.models import xnode as xnode_model
+from xnode_wan_tpu.ops.sampling import make_domain
+from xnode_wan_tpu.ops.weak_form import make_losses
+from xnode_wan_tpu.parallel.mesh import make_mesh, round_up, shard_batch
+from xnode_wan_tpu.problems import Problem, from_reference_callables
+from xnode_wan_tpu.utils import checkpoint as ckpt
+from xnode_wan_tpu.utils.logging import RunLogger
+from xnode_wan_tpu.utils.metrics import l_norm, rel_err
+from xnode_wan_tpu.utils.viz import proj
+
+PRIMAL_MODELS = {
+    "xnode": (xnode_model.init_xnode, xnode_model.apply_xnode,
+              xnode_model.evaluate_points),
+    "wan": (wan_model.init_wan, wan_model.apply_wan,
+            wan_model.evaluate_points),
+}
+
+
+@struct.dataclass
+class TrainState:
+    u_params: Any
+    v_params: Any
+    opt_u: Any
+    opt_v: Any
+    key: jax.Array
+    step: jax.Array
+
+
+class NODEWANSolver:
+    """Drop-in equivalent of the reference ``NODE_WAN_solver``.
+
+    Args:
+        params: a :class:`SolverConfig` or a reference-style flat dict
+            (``configs/cube_pde.yaml`` key set).
+        problem: the PDE as a :class:`Problem`.
+        work_dir: where checkpoints/artifacts go (reference ``path``).
+        stop: optional callback ``stop(solver, metrics) -> bool`` checked
+            every iteration (in addition to ``problem.stop_rel_err``).
+        mesh: optional ``jax.sharding.Mesh``; defaults to all devices when
+            more than one is visible.
+    """
+
+    def __init__(self, params, problem: Problem, work_dir: str = "./",
+                 stop: Optional[Callable] = None, mesh=None,
+                 devices=None):
+        cfg = (params if isinstance(params, SolverConfig)
+               else SolverConfig.from_dict(dict(params)))
+        if cfg.x64:
+            jax.config.update("jax_enable_x64", True)
+        if problem.dim is not None and problem.dim != cfg.dim:
+            raise ValueError(
+                f"problem fixes dim={problem.dim} but config has dim={cfg.dim}")
+
+        self.problem = problem
+        self.work_dir = work_dir
+        self.stop = stop
+        self.mesh = mesh
+        if self.mesh is None:
+            devs = devices if devices is not None else jax.devices()
+            if len(devs) > 1:
+                self.mesh = make_mesh(devs, cfg.data_axis)
+        n_shards = self.mesh.size if self.mesh is not None else 1
+        # Shard-divisible Monte-Carlo batch sizes.
+        cfg = cfg.replace(N_r=round_up(cfg.N_r, n_shards),
+                          N_b=round_up(cfg.N_b, n_shards))
+        self.cfg = cfg
+
+        self.domain = make_domain(cfg.domain, cfg.shape_param, cfg.dim,
+                                  cfg.T0, cfg.T, cfg.N_t)
+
+        init_fn, self._u_apply, self._u_eval_points = PRIMAL_MODELS[cfg.primal]
+
+        def v_apply(v_params, pts):
+            return apply_discriminator(v_params, pts, cfg.v_layers, cfg.tied_v)
+
+        self._v_apply = v_apply
+
+        key = jax.random.PRNGKey(cfg.seed)
+        key, ku, kv = jax.random.split(key, 3)
+        u_params = init_fn(ku, cfg)
+        v_params = init_discriminator(kv, cfg.dim, cfg.v_hidden_dim,
+                                      cfg.v_layers, cfg.tied_v)
+
+        # Two Adams, as in the reference (src/training.py:103-104).
+        self._tx_u = optax.adam(cfg.u_rate)
+        self._tx_v = optax.adam(cfg.v_rate)
+        self.state = TrainState(
+            u_params=u_params, v_params=v_params,
+            opt_u=self._tx_u.init(u_params), opt_v=self._tx_v.init(v_params),
+            key=key, step=jnp.zeros((), jnp.int32),
+        )
+
+        self._loss_u, self._loss_v = make_losses(
+            problem, self.domain, cfg, self._u_apply, v_apply)
+        self._outer = jax.jit(self._outer_step, donate_argnums=0)
+        self._predict = jax.jit(
+            lambda u_params, pts: self._u_eval_points(u_params, pts,
+                                                      self.problem, self.cfg))
+
+        self.best_l = float("inf")
+        self.logger = RunLogger(cfg.dim, work_dir)
+
+    # ------------------------------------------------------------------
+    def _sample(self, key):
+        k_i, k_b = jax.random.split(key)
+        batch = self.domain.interior(k_i, self.cfg.N_r)
+        bbatch = self.domain.boundary(k_b, self.cfg.N_b)
+        batch = shard_batch(batch, self.mesh, self.cfg.data_axis)
+        bbatch = shard_batch(bbatch, self.mesh, self.cfg.data_axis)
+        return batch, bbatch
+
+    def _outer_step(self, state: TrainState):
+        """One full outer iteration (reference src/training.py:118-174)."""
+        cfg = self.cfg
+        key, k_sample, k_eval = jax.random.split(state.key, 3)
+        batch, bbatch = self._sample(k_sample)
+
+        u_params, opt_u = state.u_params, state.opt_u
+        aux_u = None
+        for _ in range(cfg.n1):
+            (_, aux_u), grads = jax.value_and_grad(self._loss_u, has_aux=True)(
+                u_params, state.v_params, batch, bbatch)
+            updates, opt_u = self._tx_u.update(grads, opt_u, u_params)
+            u_params = optax.apply_updates(u_params, updates)
+
+        v_params, opt_v = state.v_params, state.opt_v
+        aux_v = {"loss_v": jnp.zeros(())}
+        for _ in range(cfg.n2):
+            (_, aux_v), grads = jax.value_and_grad(self._loss_v, has_aux=True)(
+                v_params, u_params, batch)
+            updates, opt_v = self._tx_v.update(grads, opt_v, v_params)
+            v_params = optax.apply_updates(v_params, updates)
+
+        metrics = {"loss_u": aux_u["loss_u"], "loss_v": aux_v["loss_v"],
+                   "I": aux_u["I"], "int": aux_u["int"],
+                   "init": aux_u["init"], "bdry": aux_u["bdry"]}
+
+        # Fresh-sample error evaluation (reference src/training.py:164-167).
+        if self.problem.u_sol is not None:
+            ebatch, _ = self._sample(k_eval)
+            u_vals = self._u_apply(u_params, ebatch, self.problem, cfg)
+            sol = self.problem.u_sol(ebatch.x)
+            vol = self.domain.V()
+            metrics["L2"] = l_norm(u_vals, sol, ebatch.mask, vol, cfg.p)
+            metrics["rel_err"] = rel_err(u_vals, sol, ebatch.mask, vol, cfg.p)
+
+        new_state = TrainState(u_params=u_params, v_params=v_params,
+                               opt_u=opt_u, opt_v=opt_v, key=key,
+                               step=state.step + 1)
+        return new_state, metrics
+
+    # ------------------------------------------------------------------
+    def _should_stop(self, metrics: Mapping[str, float]) -> bool:
+        thr = self.problem.stop_rel_err
+        if thr is not None and metrics.get("rel_err", float("inf")) < thr:
+            return True
+        if self.stop is not None and self.stop(self, metrics):
+            return True
+        return False
+
+    def _save_best(self):
+        ckpt.save(os.path.join(self.work_dir, "best_model_weights_NODE.msgpack"),
+                  self.state.u_params)
+
+    def save_checkpoint(self, path: Optional[str] = None):
+        path = path or os.path.join(self.work_dir, "checkpoint_NODE.msgpack")
+        ckpt.save(path, self.state)
+        return path
+
+    def load_checkpoint(self, path: Optional[str] = None):
+        path = path or os.path.join(self.work_dir, "checkpoint_NODE.msgpack")
+        self.state = ckpt.load(path, self.state)
+        return self
+
+    # ------------------------------------------------------------------
+    def train(self, report: bool = False, report_it: int = 10,
+              show_plt: bool = False,
+              iterations: Optional[int] = None) -> Mapping[str, float]:
+        """Run the alternating loop (reference ``train``, src/training.py:109-187).
+
+        Metric fetches are pipelined one iteration behind the device so the
+        TPU never waits on the host. Returns the last fetched metrics.
+        """
+        cfg = self.cfg
+        iterations = iterations if iterations is not None else cfg.iterations
+        pending = None  # (step, device metrics) fetched one iter late
+        last = {}
+
+        def consume(step: int, dev_metrics) -> bool:
+            nonlocal last
+            m = {k: float(v) for k, v in jax.device_get(dev_metrics).items()}
+            last = m
+            self.logger.log(step, m)
+            if m.get("loss_u", float("inf")) < self.best_l:
+                self.best_l = m["loss_u"]
+                self._save_best()
+            if report and step % report_it == 0:
+                msg = (f"iteration: {step} Loss u: {m.get('loss_u'):.6g} "
+                       f"Loss v: {m.get('loss_v'):.6g}")
+                if "L2" in m:
+                    msg += f" L^{cfg.p:g} error: {m['L2']:.6g}"
+                    msg += f" rel: {m.get('rel_err', float('nan')):.4g}"
+                print(msg)
+                if show_plt or report:
+                    self._maybe_plot(step, show_plt)
+            if self._should_stop(m):
+                self._save_best()
+                self.save_checkpoint()
+                print("Stopping Criterion Reached")
+                return True
+            return False
+
+        for k in range(iterations):
+            self.state, metrics = self._outer(self.state)
+            if pending is not None and consume(*pending):
+                self.logger.flush()
+                return last
+            pending = (k, metrics)
+
+        if pending is not None:
+            consume(*pending)
+        self.logger.flush()
+        self.save_checkpoint()
+        return last
+
+    def _maybe_plot(self, step: int, show: bool):
+        cfg = self.cfg
+        sp = cfg.shape_param
+        down, up = (sp if isinstance(sp, (tuple, list)) else (-sp, sp))
+        try:
+            proj(functools.partial(self._predict, self.state.u_params),
+                 cfg.dim, step, axes=(0, 1), T=cfg.T, T0=cfg.T0,
+                 down=down, up=up, resolution=100, save=True, show=show,
+                 func_u_sol=self.problem.u_sol, work_dir=self.work_dir)
+        except Exception as exc:  # plotting must never kill training
+            print(f"plotting failed: {exc!r}")
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_reference(cls, params, func_a, func_b, func_c, func_h, func_f,
+                       func_g, device=None, path: str = "./", stop=None,
+                       func_u_sol=None, p: float = 1.0):
+        """Reference-signature constructor (``src/training.py:65-79``).
+
+        ``device`` is accepted and ignored (placement is mesh-driven);
+        ``stop`` may be ``None`` or a reference-style callable — it is
+        adapted to the metrics-based hook.
+        """
+        del device
+        cfg = SolverConfig.from_dict({**dict(params), "p": p}
+                                     if "p" not in dict(params) else dict(params))
+        problem = from_reference_callables(
+            func_a, func_b, func_c, func_h, func_f, func_g,
+            dim=cfg.dim, func_u_sol=func_u_sol,
+            stop_rel_err=0.01 if stop is not None else None)
+        return cls(cfg, problem, work_dir=path)

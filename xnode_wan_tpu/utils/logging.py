@@ -1,0 +1,58 @@
+"""Run artifacts and structured metrics.
+
+Keeps the reference's artifact names and schemas (reference
+``src/training.py:140-141,169-174``):
+
+* ``losses_NODE_<dim>.json`` — list of per-iteration primal losses,
+* ``L2_NODE_<dim>.json``     — list of per-iteration L^p errors
+  (the reference re-created this list every iteration so the file only ever
+  held one value — fixed here, as SURVEY §5 directs),
+* ``Time_NODE_<dim>.json``   — wall-clock stamps per iteration,
+
+plus a structured ``metrics_NODE_<dim>.jsonl`` with one JSON object per
+iteration. File writes are batched (``flush_every``) to keep host IO off the
+hot path; content is identical to writing every iteration.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, List
+
+
+class RunLogger:
+    def __init__(self, dim: int, work_dir: str = "./", flush_every: int = 25):
+        self.dim = dim
+        self.work_dir = work_dir
+        self.flush_every = max(1, flush_every)
+        self.losses: List[float] = []
+        self.l2s: List[float] = []
+        self.times: List[float] = [time.time()]
+        self._records: List[dict] = []
+        os.makedirs(work_dir, exist_ok=True)
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.work_dir, name)
+
+    def log(self, step: int, metrics: Dict[str, float]) -> None:
+        self.losses.append(float(metrics.get("loss_u", float("nan"))))
+        if "L2" in metrics:
+            self.l2s.append(float(metrics["L2"]))
+        self.times.append(time.time())
+        self._records.append({"step": step, "time": self.times[-1],
+                              **{k: float(v) for k, v in metrics.items()}})
+        if (step + 1) % self.flush_every == 0:
+            self.flush()
+
+    def flush(self) -> None:
+        with open(self._path(f"losses_NODE_{self.dim}.json"), "w") as fh:
+            json.dump(self.losses, fh)
+        with open(self._path(f"L2_NODE_{self.dim}.json"), "w") as fh:
+            json.dump(self.l2s, fh)
+        with open(self._path(f"Time_NODE_{self.dim}.json"), "w") as fh:
+            json.dump(self.times, fh)
+        with open(self._path(f"metrics_NODE_{self.dim}.jsonl"), "w") as fh:
+            for rec in self._records:
+                fh.write(json.dumps(rec) + "\n")

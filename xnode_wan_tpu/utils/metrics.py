@@ -1,0 +1,33 @@
+"""Error metrics: masked L^p norms and relative error.
+
+Reference: ``utils/auxillary_funcs.py:7-30`` — ``L_norm`` =
+``(V * mean |u_sol - u_net|^p)^{1/p}`` with ragged groups weighted
+``n_k / N_r``, and ``rel_err = L_norm(err) / L_norm(sol)`` (the paper's
+headline metric, early-stopped at < 0.01). The masked versions below are
+identical on the hypercube and the honest uniform-over-domain estimator on
+the ragged domains.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def masked_lp(vals: jax.Array, mask: jax.Array, volume, p: float) -> jax.Array:
+    """``(V * sum |vals|^p mask / sum mask)^{1/p}``."""
+    m = mask.astype(vals.dtype)
+    mean = jnp.sum(jnp.abs(vals) ** p * m) / jnp.maximum(m.sum(), 1.0)
+    return (volume * mean) ** (1.0 / p)
+
+
+def l_norm(u_vals: jax.Array, sol_vals: jax.Array, mask: jax.Array,
+           volume, p: float, error: bool = True) -> jax.Array:
+    f = (sol_vals - u_vals) if error else sol_vals
+    return masked_lp(f, mask, volume, p)
+
+
+def rel_err(u_vals: jax.Array, sol_vals: jax.Array, mask: jax.Array,
+            volume, p: float) -> jax.Array:
+    return (l_norm(u_vals, sol_vals, mask, volume, p)
+            / l_norm(u_vals, sol_vals, mask, volume, p, error=False))
