@@ -3,9 +3,12 @@ multi-chip slice; SURVEY §4). Must run before jax initializes."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-# The axon TPU plugin overrides JAX_PLATFORMS; JAX_PLATFORM_NAME wins.
-os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+# The image hard-sets JAX_PLATFORMS=axon (real TPU through a relay) and a
+# sitecustomize registers that plugin at interpreter start — so this must
+# OVERRIDE, not setdefault, and JAX_PLATFORM_NAME is the knob that is still
+# honored after the plugin registered.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

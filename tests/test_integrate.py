@@ -1,0 +1,122 @@
+"""Integrator checks: closed forms, convergence order, masking semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xnode_wan_tpu.ops.integrate import integrate
+
+
+def _grid(n, l):
+    t = jnp.linspace(0.0, 1.0, l)
+    return jnp.broadcast_to(t, (n, l))
+
+
+def test_linear_ode_exact_decay():
+    # dh/dt = -h  ->  h(t) = exp(-t)
+    field = lambda t, h: -h
+    h0 = jnp.ones((4, 3))
+    times = _grid(4, 9)
+    mask = jnp.ones((4, 9), bool)
+    hs = integrate(field, h0, times, jnp.zeros(4), mask, n_sub=4,
+                   method="rk4")
+    expect = np.broadcast_to(np.exp(-np.asarray(times))[:, :, None],
+                             (4, 9, 3))
+    np.testing.assert_allclose(np.asarray(hs), expect, rtol=1e-5, atol=1e-6)
+
+
+# n_sub pairs chosen so the finer error stays above the f32 roundoff floor.
+@pytest.mark.parametrize("method,order,subs", [
+    ("euler", 1, (8, 16)), ("midpoint", 2, (8, 16)),
+    ("heun", 2, (8, 16)), ("rk4", 4, (2, 4))])
+def test_convergence_order(method, order, subs):
+    field = lambda t, h: -h
+    h0 = jnp.ones((1, 1))
+    times = _grid(1, 2)  # single interval [0, 1]
+    mask = jnp.ones((1, 2), bool)
+
+    def err(n_sub):
+        hs = integrate(field, h0, times, jnp.zeros(1), mask, n_sub=n_sub,
+                       method=method)
+        return abs(float(hs[0, -1, 0]) - np.exp(-1.0))
+
+    e1, e2 = err(subs[0]), err(subs[1])
+    rate = np.log2(e1 / e2)
+    assert rate == pytest.approx(order, abs=0.4)
+
+
+def test_time_dependent_field():
+    # dh/dt = t  ->  h(t) = h0 + t^2/2 (exact for midpoint, order 2)
+    field = lambda t, h: jnp.broadcast_to(t[:, None], h.shape)
+    h0 = jnp.zeros((2, 1))
+    times = _grid(2, 5)
+    hs = integrate(field, h0, times, jnp.zeros(2), jnp.ones((2, 5), bool),
+                   n_sub=2, method="midpoint")
+    np.testing.assert_allclose(np.asarray(hs[..., 0]),
+                               np.asarray(times) ** 2 / 2, atol=1e-6)
+
+
+def test_zero_width_first_interval_is_identity():
+    # t_start == times[0]: the first step must leave the seed untouched
+    # (reproduces the reference's single-point-at-T0 shortcut,
+    # src/model.py:89-91).
+    field = lambda t, h: 100.0 * jnp.ones_like(h)
+    h0 = 7.0 * jnp.ones((3, 2))
+    times = jnp.zeros((3, 1))
+    hs = integrate(field, h0, times, jnp.zeros(3), jnp.ones((3, 1), bool),
+                   n_sub=3)
+    np.testing.assert_allclose(np.asarray(hs[:, 0]), 7.0)
+
+
+def test_masked_prefix_starts_at_t_start():
+    # Re-entry semantics: invalid prefix leaves the state at the seed and
+    # integration starts from t_start, not from the grid origin.
+    field = lambda t, h: -h
+    l = 6
+    times = _grid(1, l)
+    mask = jnp.array([[False, False, False, True, True, True]])
+    t_start = jnp.array([0.4])
+    hs = integrate(field, jnp.ones((1, 1)), times, t_start, mask, n_sub=8,
+                   method="rk4")
+    t = np.asarray(times[0])
+    # valid entries: exp(-(t - 0.4)); invalid entries: stale seed (=1)
+    np.testing.assert_allclose(np.asarray(hs[0, :3, 0]), 1.0)
+    np.testing.assert_allclose(np.asarray(hs[0, 3:, 0]),
+                               np.exp(-(t[3:] - 0.4)), rtol=1e-5)
+
+
+def test_masked_suffix_freezes_state():
+    field = lambda t, h: -h
+    times = _grid(1, 5)
+    mask = jnp.array([[True, True, True, False, False]])
+    hs = integrate(field, jnp.ones((1, 1)), times, jnp.zeros(1), mask,
+                   n_sub=8, method="rk4")
+    t = np.asarray(times[0])
+    np.testing.assert_allclose(np.asarray(hs[0, :3, 0]), np.exp(-t[:3]),
+                               rtol=1e-5)
+    # frozen at the last valid value
+    np.testing.assert_allclose(np.asarray(hs[0, 3:, 0]), np.exp(-t[2]),
+                               rtol=1e-5)
+
+
+def test_remat_matches_plain():
+    field = lambda t, h: jnp.sin(h) - 0.3 * h
+    h0 = jnp.linspace(0, 1, 6).reshape(3, 2)
+    times = _grid(3, 7)
+    mask = jnp.ones((3, 7), bool)
+    a = integrate(field, h0, times, jnp.zeros(3), mask, n_sub=2)
+    b = integrate(field, h0, times, jnp.zeros(3), mask, n_sub=2, remat=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_gradients_flow_through_scan():
+    def loss(h0):
+        field = lambda t, h: -h
+        hs = integrate(field, h0, _grid(1, 4), jnp.zeros(1),
+                       jnp.ones((1, 4), bool), n_sub=4, method="rk4")
+        return hs[0, -1, 0]
+
+    g = jax.grad(loss)(jnp.ones((1, 1)))
+    # d/dh0 [h0 * exp(-1)] = exp(-1)
+    assert float(g[0, 0]) == pytest.approx(np.exp(-1.0), rel=1e-4)

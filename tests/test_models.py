@@ -1,0 +1,105 @@
+"""Model-family tests: XNODE, discriminator (tied/untied), WAN baseline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xnode_wan_tpu.config import SolverConfig
+from xnode_wan_tpu.models.discriminator import (apply_discriminator,
+                                                init_discriminator)
+from xnode_wan_tpu.models.wan import apply_wan, init_wan
+from xnode_wan_tpu.models.xnode import (apply_xnode, evaluate_points,
+                                        init_xnode)
+from xnode_wan_tpu.ops.sampling import Hypercube, NSphereTHourglass
+from xnode_wan_tpu.problems import load_problem
+
+CFG = SolverConfig(dim=2, N_t=6, N_r=8, N_b=8, u_hidden_dim=8,
+                   u_hidden_hidden_dim=8, u_layers=2, v_layers=3,
+                   v_hidden_dim=10, min_steps=4, shape_param=(-1.0, 1.0))
+
+
+@pytest.fixture(scope="module")
+def problem():
+    return load_problem("cube_pde", dim=2)
+
+
+def test_xnode_shapes_and_finiteness(problem, key):
+    cube = Hypercube((-1.0, 1.0), 2, 0.0, 1.0, CFG.N_t)
+    batch = cube.interior(key, 8)
+    params = init_xnode(jax.random.PRNGKey(1), CFG)
+    u = apply_xnode(params, batch, problem, CFG)
+    assert u.shape == (8, CFG.N_t)
+    assert np.isfinite(np.asarray(u)).all()
+
+
+def test_xnode_seeded_with_initial_data(problem, key):
+    # At t = T0 the XNODE output is readout(lift(h(x))) — before training
+    # it won't equal h, but it must be *identical* for two batches whose
+    # first points coincide (seed determinism), and differ when h differs.
+    cube = Hypercube((-1.0, 1.0), 2, 0.0, 1.0, CFG.N_t)
+    b1 = cube.interior(key, 8)
+    params = init_xnode(jax.random.PRNGKey(1), CFG)
+    u1 = apply_xnode(params, b1, problem, CFG)
+    u2 = apply_xnode(params, b1, problem, CFG)
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u2))
+
+
+def test_xnode_hourglass_reentry_rows(problem, key):
+    hg = NSphereTHourglass(1.0, 2, 0.0, 1.0, CFG.N_t)
+    batch = hg.interior(key, 16)
+    params = init_xnode(jax.random.PRNGKey(1), CFG)
+    u = apply_xnode(params, batch, problem, CFG)
+    assert u.shape == (32, CFG.N_t)
+    assert np.isfinite(np.asarray(u)).all()
+
+
+def test_evaluate_points_consistent_with_path_forward(problem, key):
+    # Pointwise eval integrates a fresh fine path from T0; it must agree
+    # with the batched path forward at the path's own sample times.
+    cube = Hypercube((-1.0, 1.0), 2, 0.0, 1.0, CFG.N_t)
+    batch = cube.interior(key, 4)
+    params = init_xnode(jax.random.PRNGKey(1), CFG)
+    u_path = apply_xnode(params, batch, problem, CFG)
+    pts = batch.x.reshape(-1, 3)
+    u_pts = evaluate_points(params, pts, problem, CFG, k_steps=64)
+    np.testing.assert_allclose(np.asarray(u_pts),
+                               np.asarray(u_path.reshape(-1)), atol=5e-3)
+
+
+def test_discriminator_tied_weight_sharing(key):
+    # Reference ties every hidden layer (src/model.py:37-39): the tied
+    # param count must not grow with depth.
+    p3 = init_discriminator(key, 2, 10, 3, tied=True)
+    p9 = init_discriminator(key, 2, 10, 9, tied=True)
+    n3 = sum(x.size for x in jax.tree.leaves(p3))
+    n9 = sum(x.size for x in jax.tree.leaves(p9))
+    assert n3 == n9
+    pu = init_discriminator(key, 2, 10, 3, tied=False)
+    nu = sum(x.size for x in jax.tree.leaves(pu))
+    assert nu > n3
+
+    pts = jax.random.normal(jax.random.PRNGKey(2), (5, 7, 3))
+    out = apply_discriminator(p9, pts, 9, tied=True)
+    assert out.shape == (5, 7)
+    out_flat = apply_discriminator(p9, pts[0, 0], 9, tied=True)
+    assert out_flat.shape == ()
+
+
+def test_wan_primal_model(problem, key):
+    cube = Hypercube((-1.0, 1.0), 2, 0.0, 1.0, CFG.N_t)
+    batch = cube.interior(key, 8)
+    cfg = CFG.replace(primal="wan")
+    params = init_wan(jax.random.PRNGKey(1), cfg)
+    u = apply_wan(params, batch, problem, cfg)
+    assert u.shape == (8, CFG.N_t)
+    assert np.isfinite(np.asarray(u)).all()
+
+
+def test_xavier_init_stats(key):
+    from xnode_wan_tpu.models.layers import linear_init
+    p = linear_init(key, 400, 400)
+    limit = np.sqrt(6 / 800)
+    w = np.asarray(p["w"])
+    assert np.abs(w).max() <= limit + 1e-6
+    assert np.allclose(np.asarray(p["b"]), 0.0)

@@ -1,0 +1,107 @@
+"""End-to-end trainer tests: convergence smoke, checkpoint resume,
+WAN baseline, artifact parity (SURVEY §4 oracle-based strategy)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from xnode_wan_tpu.config import SolverConfig
+from xnode_wan_tpu.problems import load_problem
+from xnode_wan_tpu.training import NODEWANSolver
+
+SMALL = SolverConfig(dim=2, N_t=8, N_r=64, N_b=64, u_hidden_dim=8,
+                     u_hidden_hidden_dim=8, u_layers=2, v_layers=3,
+                     v_hidden_dim=12, iterations=40, alpha=1e4,
+                     shape_param=(-1.0, 1.0), min_steps=4, seed=1)
+
+
+@pytest.fixture(scope="module")
+def problem():
+    return load_problem("cube_pde", dim=2)
+
+
+@pytest.fixture(scope="module")
+def run(tmp_path_factory, problem):
+    wd = str(tmp_path_factory.mktemp("run"))
+    solver = NODEWANSolver(SMALL, problem, work_dir=wd, devices=None)
+    metrics = solver.train(report=False, iterations=40)
+    return solver, metrics, wd
+
+
+def test_error_decreases(run):
+    _, metrics, wd = run
+    l2s = json.load(open(os.path.join(wd, "L2_NODE_2.json")))
+    assert len(l2s) == 40
+    assert l2s[-1] < l2s[0] * 0.5  # clear convergence within 40 iters
+
+
+def test_artifacts_written(run):
+    _, _, wd = run
+    for name in ("losses_NODE_2.json", "L2_NODE_2.json", "Time_NODE_2.json",
+                 "metrics_NODE_2.jsonl", "best_model_weights_NODE.msgpack",
+                 "checkpoint_NODE.msgpack"):
+        assert os.path.exists(os.path.join(wd, name)), name
+    times = json.load(open(os.path.join(wd, "Time_NODE_2.json")))
+    assert len(times) == 41 and all(b >= a for a, b in zip(times, times[1:]))
+
+
+def test_checkpoint_roundtrip(run, problem):
+    solver, _, wd = run
+    fresh = NODEWANSolver(SMALL, problem, work_dir=wd)
+    fresh.load_checkpoint()
+    import jax
+    for a, b in zip(jax.tree.leaves(solver.state.u_params),
+                    jax.tree.leaves(fresh.state.u_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(fresh.state.step) == 40
+
+
+def test_stop_criterion(problem, tmp_path):
+    import dataclasses
+    easy = dataclasses.replace(problem, stop_rel_err=0.9)
+    solver = NODEWANSolver(SMALL.replace(iterations=30), easy,
+                           work_dir=str(tmp_path))
+    solver.train(report=False)
+    # stop fired well before 30 iterations
+    assert int(solver.state.step) < 30
+    assert os.path.exists(tmp_path / "best_model_weights_NODE.msgpack")
+
+
+def test_custom_stop_callback(problem, tmp_path):
+    calls = []
+
+    def stop(solver, metrics):
+        calls.append(metrics["loss_u"])
+        return len(calls) >= 3
+
+    solver = NODEWANSolver(SMALL.replace(iterations=30), problem,
+                           work_dir=str(tmp_path), stop=stop)
+    solver.train(report=False)
+    assert len(calls) == 3
+
+
+def test_wan_baseline_trains(problem, tmp_path):
+    cfg = SMALL.replace(primal="wan", iterations=30)
+    solver = NODEWANSolver(cfg, problem, work_dir=str(tmp_path))
+    m = solver.train(report=False)
+    assert np.isfinite(m["loss_u"]) and np.isfinite(m["rel_err"])
+
+
+def test_cone_domain_trains(tmp_path):
+    cfg = SMALL.replace(domain="NSphere_TCone", shape_param=1.0,
+                        iterations=10)
+    problem = load_problem("cube_pde", dim=2)
+    solver = NODEWANSolver(cfg, problem, work_dir=str(tmp_path))
+    m = solver.train(report=False)
+    assert np.isfinite(m["loss_u"])
+
+
+def test_hourglass_domain_trains(tmp_path):
+    cfg = SMALL.replace(domain="NSphere_THourglass", shape_param=1.0,
+                        iterations=10)
+    problem = load_problem("cube_pde", dim=2)
+    solver = NODEWANSolver(cfg, problem, work_dir=str(tmp_path))
+    m = solver.train(report=False)
+    assert np.isfinite(m["loss_u"])

@@ -1,0 +1,122 @@
+"""Weak-form loss: derivative correctness vs finite differences, estimator
+sanity on the hypercube."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xnode_wan_tpu.config import SolverConfig
+from xnode_wan_tpu.models.discriminator import (apply_discriminator,
+                                                init_discriminator)
+from xnode_wan_tpu.models.xnode import apply_xnode, init_xnode
+from xnode_wan_tpu.ops.sampling import Hypercube, _assemble
+from xnode_wan_tpu.ops.weak_form import (interior_terms, make_losses,
+                                         u_with_spatial_grad,
+                                         v_phi_and_grads)
+from xnode_wan_tpu.problems import load_problem
+
+CFG = SolverConfig(dim=2, N_t=6, N_r=16, N_b=8, u_hidden_dim=8,
+                   u_hidden_hidden_dim=8, u_layers=2, v_layers=3,
+                   v_hidden_dim=10, min_steps=3, shape_param=(-1.0, 1.0))
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cube = Hypercube((-1.0, 1.0), CFG.dim, CFG.T0, CFG.T, CFG.N_t)
+    k = jax.random.PRNGKey(3)
+    k1, k2, k3 = jax.random.split(k, 3)
+    batch = cube.interior(k1, CFG.N_r)
+    u_params = init_xnode(k2, CFG)
+    v_params = init_discriminator(k3, CFG.dim, CFG.v_hidden_dim,
+                                  CFG.v_layers, tied=True)
+    problem = load_problem("cube_pde", dim=CFG.dim)
+    return cube, batch, u_params, v_params, problem
+
+
+def test_u_spatial_grad_matches_fd(setup):
+    cube, batch, u_params, _, problem = setup
+    u, du = u_with_spatial_grad(apply_xnode, u_params, batch, problem, CFG)
+    assert u.shape == (CFG.N_r, CFG.N_t)
+    assert du.shape == (CFG.N_r, CFG.N_t, CFG.dim)
+
+    eps = 1e-4
+    xs0 = batch.space[:, 0, :]
+    for axis in range(CFG.dim):
+        e = jnp.zeros_like(xs0).at[:, axis].add(eps)
+        bp = batch.replace(x=_assemble(batch.times, xs0 + e))
+        bm = batch.replace(x=_assemble(batch.times, xs0 - e))
+        fd = (apply_xnode(u_params, bp, problem, CFG)
+              - apply_xnode(u_params, bm, problem, CFG)) / (2 * eps)
+        np.testing.assert_allclose(np.asarray(du[..., axis]),
+                                   np.asarray(fd), atol=2e-3, rtol=2e-3)
+
+
+def test_phi_grads_match_fd(setup):
+    cube, batch, _, v_params, _ = setup
+
+    def v_apply(p, pts):
+        return apply_discriminator(p, pts, CFG.v_layers, tied=True)
+
+    v, phi, dphi = v_phi_and_grads(v_apply, v_params, batch.x, cube.func_w)
+    assert phi.shape == (CFG.N_r, CFG.N_t)
+    assert dphi.shape == (CFG.N_r, CFG.N_t, CFG.dim + 1)
+
+    w = cube.func_w(batch.x)
+    np.testing.assert_allclose(np.asarray(phi), np.asarray(v * w), rtol=1e-5)
+
+    eps = 1e-4
+    # FD in time channel (channel 0): smooth region so subgradients agree
+    xp = batch.x.at[..., 0].add(eps)
+    xm = batch.x.at[..., 0].add(-eps)
+    fd = (v_apply(v_params, xp) * cube.func_w(xp)
+          - v_apply(v_params, xm) * cube.func_w(xm)) / (2 * eps)
+    np.testing.assert_allclose(np.asarray(dphi[..., 0]), np.asarray(fd),
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_interior_terms_match_dense_reference_formula(setup):
+    """Masked global estimator == direct dense formula on the full-mask cube."""
+    cube, batch, u_params, v_params, problem = setup
+
+    def v_apply(p, pts):
+        return apply_discriminator(p, pts, CFG.v_layers, tied=True)
+
+    u, du = u_with_spatial_grad(apply_xnode, u_params, batch, problem, CFG)
+    v, phi, dphi = v_phi_and_grads(v_apply, v_params, batch.x, cube.func_w)
+    current, norm = interior_terms(u, du, v, phi, dphi, batch, problem, cube)
+
+    # dense recomputation (reference loss.py:64-73 structure, full mask)
+    n, l = u.shape
+    vol = cube.V()
+    h_vals = problem.h(batch.x[:, 0, :])
+    s1 = vol * jnp.sum(u[:, -1] * v[:, -1] - h_vals * v[:, 0]) / n
+    s2 = vol * jnp.sum(u * dphi[..., 0]) / (n * l)
+    s3f = (jnp.sum(dphi[..., 1:] * du, -1)
+           + problem.c(batch.x, u) * u * phi + problem.f(batch.x) * phi)
+    s3 = vol * jnp.sum(s3f) / (n * l)
+    np.testing.assert_allclose(float(current), float(s1 - s2 + s3), rtol=1e-5)
+    np.testing.assert_allclose(float(norm),
+                               float(vol * jnp.mean(v ** 2)), rtol=1e-5)
+
+
+def test_losses_finite_and_differentiable(setup):
+    cube, batch, u_params, v_params, problem = setup
+    bbatch = cube.boundary(jax.random.PRNGKey(9), CFG.N_b)
+
+    def v_apply(p, pts):
+        return apply_discriminator(p, pts, CFG.v_layers, tied=True)
+
+    loss_u, loss_v = make_losses(problem, cube, CFG, apply_xnode, v_apply)
+    (lu, aux), gu = jax.value_and_grad(loss_u, has_aux=True)(
+        u_params, v_params, batch, bbatch)
+    assert np.isfinite(float(lu))
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree.leaves(gu))
+    (lv, _), gv = jax.value_and_grad(loss_v, has_aux=True)(
+        v_params, u_params, batch)
+    assert np.isfinite(float(lv))
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree.leaves(gv))
+    # adversary maximizes what the primal minimizes
+    np.testing.assert_allclose(float(lv), -float(aux["int"]), rtol=1e-5)
