@@ -1,0 +1,181 @@
+"""Benchmark: wall-clock to 1% relative L2 on the d=5 cube PDE (BASELINE.json).
+
+Runs the paper test-problem config (reference ``configs/cube_pde.yaml``:
+d=5, N_t=20, N_r=N_b=4000, n1=2/n2=1, alpha=1e8, midpoint, Adam 0.015/0.04)
+on the default JAX backend (the real TPU chip under the driver) until the
+reference's own convergence criterion fires (relative L2 < 0.01, reference
+``configs/Ex4_1_funcs.py:36-37``).
+
+``vs_baseline``: the PyTorch reference cannot run here (torchdiffeq is not
+installed), so the baseline is a workload-matched torch-CPU shim of one
+reference outer iteration — same tensor sizes, float64, the same
+3 loss evaluations (n1=2 primal + n2=1 adversarial), each with a 25-step
+midpoint ODE forward, the reference's O(d^2) coefficient loop, its two
+input-gradient backward passes plus the optimizer backward
+(``src/training.py:125-162``, ``src/loss.py:46-76``) — timed for a few
+iterations and scaled to the same iteration count this run needed.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <wall-clock s to 1% rel-L2, excl. compile>,
+   "unit": "s", "vs_baseline": <estimated reference wall / ours>, ...}
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+MAX_ITERS = int(os.environ.get("BENCH_MAX_ITERS", 1500))
+CHUNK = int(os.environ.get("BENCH_CHUNK", 25))
+TORCH_SHIM_ITERS = int(os.environ.get("BENCH_TORCH_ITERS", 3))
+
+
+def measure_torch_reference_iter() -> float:
+    """Seconds per reference outer iteration (workload-matched shim, CPU)."""
+    import torch
+
+    torch.manual_seed(0)
+    torch.set_num_threads(os.cpu_count() or 1)
+    d, n, l, steps = 5, 4000, 20, 25  # N_t=20 + fillt padding to min-step grid
+    hid_u, hid_f, hid_v = 20, 10, 50
+
+    lift = torch.nn.Sequential(
+        torch.nn.Linear(1, hid_u), torch.nn.ReLU(),
+        torch.nn.Linear(hid_u, hid_u), torch.nn.ReLU(),
+        torch.nn.Linear(hid_u, hid_u)).double()
+    field = torch.nn.Sequential(
+        torch.nn.Linear(hid_u + d + 1, hid_f),
+        *[m for _ in range(7) for m in
+          (torch.nn.ReLU(), torch.nn.Linear(hid_f, hid_f))],
+        torch.nn.Tanh(), torch.nn.Linear(hid_f, hid_u)).double()
+    readout = torch.nn.Linear(hid_u, 1).double()
+    v_net = torch.nn.Sequential(
+        torch.nn.Linear(d + 1, hid_v),
+        *[m for _ in range(9) for m in
+          (torch.nn.ReLU(), torch.nn.Linear(hid_v, hid_v))],
+        torch.nn.Tanh(), torch.nn.Linear(hid_v, 1)).double()
+    params_u = (list(lift.parameters()) + list(field.parameters())
+                + list(readout.parameters()))
+    opt_u = torch.optim.Adam(params_u, lr=0.015)
+    opt_v = torch.optim.Adam(v_net.parameters(), lr=0.04)
+
+    def u_forward(x):
+        # midpoint odeint along the path grid (torchdiffeq-equivalent cost)
+        h = lift(x[:, :1, 1:2].reshape(n, 1))
+        dt = 1.0 / steps
+        outs = []
+        xflat = x[:, 0, 1:]
+        record = {round(i * (steps - 1) / (l - 1)) for i in range(l)}
+        for k in range(steps):
+            t = torch.full((n, 1), k * dt, dtype=torch.float64)
+            k1 = field(torch.cat([xflat, t, h], 1))
+            h = h + dt * field(torch.cat([xflat, t + dt / 2, h + dt / 2 * k1], 1))
+            if k in record:
+                outs.append(readout(h))
+        return torch.stack(outs[:l], 1)
+
+    def one_loss(step_u):
+        x = torch.rand(n, l, d + 1, dtype=torch.float64, requires_grad=True)
+        xv = torch.rand(n, l, d + 1, dtype=torch.float64, requires_grad=True)
+        u = u_forward(x)
+        v = v_net(xv)
+        # reference func_eval: python d^2 loop building a[d,d,N,L]
+        a = torch.empty(d, d, n, l, dtype=torch.float64)
+        for i in range(d):
+            for j in range(d):
+                a[i, j] = float(i == j)
+        # two input-gradient backward passes (loss.py:55,60)
+        u.backward(torch.ones_like(u), retain_graph=True)
+        v.backward(torch.ones_like(v), retain_graph=True)
+        du, dv = x.grad, xv.grad
+        s = (u.squeeze(-1) * dv[..., 0]).sum()
+        for i in range(d):
+            s = s + (a[i, i] * du[..., i + 1] * dv[..., i + 1]).sum()
+        loss = torch.log(s ** 2) + (u[:, 0, 0] ** 2).mean()
+        if step_u:
+            opt_u.zero_grad()
+            loss.backward()
+            opt_u.step()
+        else:
+            opt_v.zero_grad()
+            loss.backward()
+            opt_v.step()
+
+    t0 = time.time()
+    for _ in range(TORCH_SHIM_ITERS):
+        one_loss(True)
+        one_loss(True)   # n1 = 2
+        one_loss(False)  # n2 = 1
+    return (time.time() - t0) / TORCH_SHIM_ITERS
+
+
+def main():
+    import jax as _jax
+    # persistent compile cache: repeated bench runs skip the ~3 min compile
+    _jax.config.update("jax_compilation_cache_dir",
+                       os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from xnode_wan_tpu.config import load_params
+    from xnode_wan_tpu.problems import load_problem
+    from xnode_wan_tpu.training import NODEWANSolver
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    cfg = load_params(os.path.join(here, "configs", "cube_pde.yaml"))
+    cfg = cfg.replace(iterations=MAX_ITERS)
+    problem = load_problem("Ex4_1_funcs", dim=cfg.dim)
+    solver = NODEWANSolver(cfg, problem, work_dir="/tmp/bench_run")
+
+    import jax
+    import jax.numpy as jnp
+    # compile warmup: one chunk, then reset state so the measured run is
+    # a fresh training trajectory with a hot compile cache. The chunk
+    # program donates its input state, so keep a deep copy.
+    warm = solver._outer_chunk(CHUNK)
+    state0 = jax.tree.map(jnp.copy, solver.state)
+    t_c = time.time()
+    solver.state, _ = warm(solver.state)
+    jax.block_until_ready(solver.state.u_params)
+    compile_s = time.time() - t_c
+    solver.state = state0
+
+    print(f"[bench] warmup/compile {compile_s:.1f}s", file=sys.stderr)
+    t0 = time.time()
+    last = solver.train_chunked(MAX_ITERS, chunk=CHUNK, log=False)
+    wall = time.time() - t0
+    print(f"[bench] train {wall:.1f}s {last.get('iterations_run')} iters "
+          f"rel={last.get('rel_err'):.4f}", file=sys.stderr)
+    iters = int(last.get("iterations_run", MAX_ITERS))
+    converged = last.get("rel_err", 1.0) < (problem.stop_rel_err or 0.01)
+    steps_per_s = iters / wall
+
+    try:
+        torch_iter_s = measure_torch_reference_iter()
+        print(f"[bench] torch shim {torch_iter_s:.1f}s/iter", file=sys.stderr)
+    except Exception as exc:  # torch missing/broken: report without baseline
+        print(f"torch shim failed: {exc!r}", file=sys.stderr)
+        torch_iter_s = None
+    baseline_s = torch_iter_s * iters if torch_iter_s else None
+
+    result = {
+        "metric": "wall_clock_to_1pct_relL2_d5_cube",
+        "value": round(wall, 3),
+        "unit": "s",
+        "vs_baseline": round(baseline_s / wall, 2) if baseline_s else None,
+        "converged": bool(converged),
+        "iterations": iters,
+        "rel_err": round(float(last.get("rel_err", float("nan"))), 5),
+        "outer_iters_per_s": round(steps_per_s, 3),
+        "train_steps_per_s": round(steps_per_s * (cfg.n1 + cfg.n2), 3),
+        "compile_s": round(compile_s, 1),
+        "baseline_estimate_s": round(baseline_s, 1) if baseline_s else None,
+        "baseline_iter_s": round(torch_iter_s, 3) if torch_iter_s else None,
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -59,6 +59,8 @@ class SolverConfig:
     tied_v: bool = True         # reference ties all hidden v-layers (model.py:37-39)
     x64: bool = False           # f64 numerics-parity mode (reference is f64)
     seed: int = 0
+    profile_dir: str = ""       # write a jax.profiler trace of iters [3, 8)
+    debug_nans: bool = False    # functional-JAX "sanitizer": raise on NaN
     data_axis: str = "data"     # mesh axis the path batch is sharded over
     p: float = 2.0              # L^p norm for error reporting
 

@@ -383,6 +383,62 @@ DOMAIN_REGISTRY = {
 }
 
 
+def fillt(times: jax.Array, T: float, T0: float, min_steps: int = 5):
+    """Reference-parity grid densifier (reference ``src/dataset.py:13-32``).
+
+    Pads a sorted time vector so no gap exceeds ``(T - T0) / min_steps``;
+    returns ``(idx, filled)`` where ``idx[i]`` locates ``times[i]`` in the
+    filled grid. The TPU hot path never calls this — stratified sampling
+    plus a static substep count provides the same invariant with static
+    shapes (see module docstring) — but it is provided for users porting
+    reference code that calls ``fillt`` directly. Host-side, dynamic
+    output length; do not use under ``jit``.
+    """
+    import numpy as np
+
+    t = np.asarray(times, dtype=float)
+    h = (float(T) - float(T0)) / int(min_steps)
+    out = [t[0]]
+    idx = [0]
+    for val in t[1:]:
+        gap = val - out[-1]
+        if gap > h:
+            k = int(np.ceil(gap / h)) - 1
+            out.extend(np.linspace(out[-1], val, k + 2)[1:-1].tolist())
+        out.append(val)
+        idx.append(len(out) - 1)
+    filled = jnp.asarray(np.array(out), dtype=_fdtype())
+    assert float(jnp.max(jnp.diff(filled))) <= h + 1e-9
+    return jnp.asarray(np.array(idx)), filled
+
+
+class CombLoader:
+    """Reference-API batching shim (reference ``Comb_loader``,
+    ``src/dataset.py:293-322``).
+
+    The reference wraps a domain in a torch ``Dataset`` yielding ragged
+    ``(datau, datav, bdata)`` group triples with ``requires_grad`` set.
+    Here a single static-shape triple of :class:`PathBatch` es is produced
+    (JAX needs no leaf-tensor bookkeeping: derivatives are taken
+    functionally), with u and v sharing one interior cloud — see
+    ``ops/weak_form.py`` for why that is the correct weak form.
+    """
+
+    def __init__(self, n_r: int, n_b: int, shape, key: jax.Array):
+        k_i, k_b = jax.random.split(key)
+        self.interioru = shape.interior(k_i, n_r)
+        self.interiorv = self.interioru
+        self.boundary = shape.boundary(k_b, n_b)
+
+    def __len__(self) -> int:
+        return 1
+
+    def __getitem__(self, idx: int):
+        if idx != 0:
+            raise IndexError(idx)
+        return (self.interioru, self.interiorv, self.boundary)
+
+
 def make_domain(name: str, shape_param, dim: int, T0: float, T: float, N_t: int):
     """Registry-based domain construction (replaces the reference's
     ``eval(params['domain'])``, ``src/training.py:84``)."""

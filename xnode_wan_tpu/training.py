@@ -84,6 +84,10 @@ class NODEWANSolver:
                else SolverConfig.from_dict(dict(params)))
         if cfg.x64:
             jax.config.update("jax_enable_x64", True)
+        if cfg.debug_nans:
+            # The closest TPU-native analogue of a sanitizer for this
+            # all-functional program (SURVEY §5 race-detection row).
+            jax.config.update("jax_debug_nans", True)
         if problem.dim is not None and problem.dim != cfg.dim:
             raise ValueError(
                 f"problem fixes dim={problem.dim} but config has dim={cfg.dim}")
@@ -130,6 +134,7 @@ class NODEWANSolver:
         self._loss_u, self._loss_v = make_losses(
             problem, self.domain, cfg, self._u_apply, v_apply)
         self._outer = jax.jit(self._outer_step, donate_argnums=0)
+        self._outer_chunk_cache = {}
         self._predict = jax.jit(
             lambda u_params, pts: self._u_eval_points(u_params, pts,
                                                       self.problem, self.cfg))
@@ -185,6 +190,53 @@ class NODEWANSolver:
                                opt_u=opt_u, opt_v=opt_v, key=key,
                                step=state.step + 1)
         return new_state, metrics
+
+    def _outer_chunk(self, chunk: int):
+        """``chunk`` outer iterations as one ``lax.scan``-compiled program.
+
+        The per-iteration dispatch + metric fetch of :meth:`train` is the
+        only host involvement left; this removes even that for benchmark
+        runs — one device program per ``chunk`` iterations, metrics
+        stacked on device.
+        """
+        if chunk not in self._outer_chunk_cache:
+            def body(state, _):
+                return self._outer_step(state)
+
+            @functools.partial(jax.jit, donate_argnums=0)
+            def run(state):
+                return jax.lax.scan(body, state, None, length=chunk)
+
+            self._outer_chunk_cache[chunk] = run
+        return self._outer_chunk_cache[chunk]
+
+    def train_chunked(self, iterations: int, chunk: int = 20,
+                      log: bool = True) -> Mapping[str, float]:
+        """Benchmark-grade training loop: ``lax.scan`` chunks of outer
+        iterations, stop criterion checked once per chunk."""
+        run = self._outer_chunk(chunk)
+        last = {}
+        done = 0
+        while done < iterations:
+            self.state, stacked = run(self.state)
+            ms = jax.device_get(stacked)
+            done += chunk
+            for i in range(chunk):
+                m = {k: float(v[i]) for k, v in ms.items()}
+                if log:
+                    self.logger.log(done - chunk + i, m)
+                last = m
+                if self._should_stop(m):
+                    self._save_best()
+                    self.save_checkpoint()
+                    if log:
+                        self.logger.flush()
+                    last["iterations_run"] = done - chunk + i + 1
+                    return last
+        if log:
+            self.logger.flush()
+        last["iterations_run"] = done
+        return last
 
     # ------------------------------------------------------------------
     def _should_stop(self, metrics: Mapping[str, float]) -> bool:
@@ -247,9 +299,19 @@ class NODEWANSolver:
                 return True
             return False
 
+        profiling = False
         for k in range(iterations):
+            if cfg.profile_dir and k == 3:
+                jax.profiler.start_trace(cfg.profile_dir)
+                profiling = True
             self.state, metrics = self._outer(self.state)
+            if cfg.profile_dir and k == 7 and profiling:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
+                profiling = False
             if pending is not None and consume(*pending):
+                if profiling:
+                    jax.profiler.stop_trace()
                 self.logger.flush()
                 return last
             pending = (k, metrics)
