@@ -61,6 +61,7 @@ class SolverConfig:
     seed: int = 0
     profile_dir: str = ""       # write a jax.profiler trace of iters [3, 8)
     debug_nans: bool = False    # functional-JAX "sanitizer": raise on NaN
+    use_pallas: bool = True     # fused Pallas kernel on the TPU eval path
     data_axis: str = "data"     # mesh axis the path batch is sharded over
     p: float = 2.0              # L^p norm for error reporting
 

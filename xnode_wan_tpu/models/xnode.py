@@ -99,6 +99,13 @@ def evaluate_points(params: Dict[str, Any], pts: jax.Array, problem,
     """
     if k_steps is None:
         k_steps = max(cfg.min_steps, cfg.N_t)
+    if (cfg.use_pallas and not cfg.x64
+            and jax.default_backend() == "tpu"):
+        from xnode_wan_tpu.ops.pallas.xnode_eval import fused_evaluate
+        pts0 = pts.at[:, 0].set(cfg.T0)
+        seed = problem.h(pts0)
+        return fused_evaluate(params, pts, seed, k_steps * cfg.n_sub,
+                              t0=cfg.T0)
     m = pts.shape[0]
     t = pts[:, 0]
     frac = jnp.linspace(0.0, 1.0, k_steps + 1, dtype=pts.dtype)

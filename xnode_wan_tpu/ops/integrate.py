@@ -71,6 +71,7 @@ def integrate(
     n_sub: int,
     method: str = "midpoint",
     remat: bool = False,
+    unroll: int = 4,
 ) -> jax.Array:
     """Integrate ``dh/dt = field(t, h)`` to every valid sample time.
 
@@ -99,5 +100,6 @@ def integrate(
         step = jax.checkpoint(step)
 
     xs = (jnp.moveaxis(times, 1, 0), jnp.moveaxis(mask, 1, 0))
-    _, hs = jax.lax.scan(step, (h0, jnp.asarray(t_start, h0.dtype)), xs)
+    _, hs = jax.lax.scan(step, (h0, jnp.asarray(t_start, h0.dtype)), xs,
+                         unroll=min(unroll, times.shape[1]))
     return jnp.moveaxis(hs, 0, 1)
