@@ -89,6 +89,33 @@ def test_wan_baseline_trains(problem, tmp_path):
     assert np.isfinite(m["loss_u"]) and np.isfinite(m["rel_err"])
 
 
+def test_train_until_single_dispatch(problem, tmp_path):
+    import dataclasses
+    easy = dataclasses.replace(problem, stop_rel_err=0.5)
+    solver = NODEWANSolver(SMALL, easy, work_dir=str(tmp_path))
+    hist = solver.train_until(0.5, 30)
+    iters = hist["iterations_run"]
+    assert 0 < iters <= 30
+    assert hist["rel_err_final"] < 0.5 or iters == 30
+    # trajectory buffers trimmed to the executed prefix and finite
+    assert len(hist["rel_err"]) == iters
+    assert np.isfinite(hist["loss_u"]).all()
+
+
+def test_adjoint_mode_trains(problem, tmp_path):
+    # adjoint=True -> rematerialized scan backward (reference's
+    # odeint_adjoint analogue); must train to finite loss
+    solver = NODEWANSolver(SMALL.replace(adjoint=True, iterations=5),
+                           problem, work_dir=str(tmp_path))
+    m = solver.train(report=False)
+    assert np.isfinite(m["loss_u"])
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as graft
+    graft.dryrun_multichip(8)
+
+
 def test_cone_domain_trains(tmp_path):
     cfg = SMALL.replace(domain="NSphere_TCone", shape_param=1.0,
                         iterations=10)

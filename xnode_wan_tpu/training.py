@@ -238,6 +238,51 @@ class NODEWANSolver:
         last["iterations_run"] = done
         return last
 
+    def train_until(self, rel_tol: float, max_iters: int):
+        """Train to a relative-L^p tolerance in ONE device program.
+
+        ``lax.while_loop`` over the outer step with the reference's stop
+        criterion (``rel_err < tol``, reference ``configs/Ex4_1_funcs.py:36``)
+        evaluated on-device: a single dispatch and a single host fetch
+        regardless of how many iterations convergence takes. Records the
+        per-iteration (loss_u, L2, rel_err) trajectory into preallocated
+        buffers. Requires the problem to ship an exact solution.
+        """
+        if self.problem.u_sol is None:
+            raise ValueError("train_until needs problem.u_sol")
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def run(state):
+            hist = {
+                "loss_u": jnp.full((max_iters,), jnp.nan),
+                "L2": jnp.full((max_iters,), jnp.nan),
+                "rel_err": jnp.full((max_iters,), jnp.nan),
+            }
+
+            def cond(carry):
+                _, k, rel, _ = carry
+                return (k < max_iters) & (rel > rel_tol)
+
+            def body(carry):
+                state, k, _, hist = carry
+                state, m = self._outer_step(state)
+                hist = {name: buf.at[k].set(m[name])
+                        for name, buf in hist.items()}
+                return state, k + 1, m["rel_err"], hist
+
+            return jax.lax.while_loop(
+                cond, body, (state, jnp.zeros((), jnp.int32),
+                             jnp.asarray(jnp.inf), hist))
+
+        self.state, iters, rel, hist = run(self.state)
+        iters = int(iters)
+        out = {k: jax.device_get(v)[:iters] for k, v in hist.items()}
+        out["iterations_run"] = iters
+        out["rel_err_final"] = float(rel)
+        self._save_best()
+        self.save_checkpoint()
+        return out
+
     # ------------------------------------------------------------------
     def _should_stop(self, metrics: Mapping[str, float]) -> bool:
         thr = self.problem.stop_rel_err
