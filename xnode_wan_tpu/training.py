@@ -391,8 +391,9 @@ class NODEWANSolver:
         adapted to the metrics-based hook.
         """
         del device
-        cfg = SolverConfig.from_dict({**dict(params), "p": p}
-                                     if "p" not in dict(params) else dict(params))
+        raw = dict(params)
+        raw.setdefault("p", p)
+        cfg = SolverConfig.from_dict(raw)
         problem = from_reference_callables(
             func_a, func_b, func_c, func_h, func_f, func_g,
             dim=cfg.dim, func_u_sol=func_u_sol,
