@@ -82,6 +82,43 @@ def test_custom_stop_callback(problem, tmp_path):
     assert len(calls) == 3
 
 
+def test_from_reference_constructor(tmp_path):
+    # The reference solver signature (src/training.py:65-79): positional
+    # func_a..func_g with entrywise coefficients, device, path, stop, p.
+    import jax.numpy as jnp
+    import math
+
+    def func_a(X, i, j):
+        return (jnp.ones if i == j else jnp.zeros)(X.shape[:-1])
+
+    def func_b(X, i):
+        return jnp.zeros(X.shape[:-1])
+
+    def func_c(X, u):
+        return -u
+
+    def func_u_sol(X):
+        return (2 * jnp.sin(math.pi / 2 * X[..., 1])
+                * jnp.cos(math.pi / 2 * X[..., 2]) * jnp.exp(-X[..., 0]))
+
+    def func_f(X):
+        sc = jnp.sin(math.pi / 2 * X[..., 1]) * jnp.cos(math.pi / 2 * X[..., 2])
+        return ((math.pi ** 2 - 2) * sc * jnp.exp(-X[..., 0])
+                - 4 * sc ** 2 * jnp.exp(-2 * X[..., 0]))
+
+    def func_h(X):
+        return 2 * jnp.sin(math.pi / 2 * X[..., 1]) * jnp.cos(math.pi / 2 * X[..., 2])
+
+    params = SMALL.replace(iterations=2).to_dict()
+    solver = NODEWANSolver.from_reference(
+        params, func_a, func_b, func_c, func_h, func_f, func_u_sol,
+        device=None, path=str(tmp_path), stop=None,
+        func_u_sol=func_u_sol, p=2)
+    m = solver.train(report=False)
+    assert np.isfinite(m["loss_u"])
+    assert solver.problem.a_kind == "full"
+
+
 def test_wan_baseline_trains(problem, tmp_path):
     cfg = SMALL.replace(primal="wan", iterations=30)
     solver = NODEWANSolver(cfg, problem, work_dir=str(tmp_path))

@@ -84,7 +84,12 @@ def test_interior_terms_match_dense_reference_formula(setup):
 
     u, du = u_with_spatial_grad(apply_xnode, u_params, batch, problem, CFG)
     v, phi, dphi = v_phi_and_grads(v_apply, v_params, batch.x, cube.func_w)
-    current, norm = interior_terms(u, du, v, phi, dphi, batch, problem, cube)
+    current, norm = interior_terms(u, du, v, phi, dphi, batch, problem, cube,
+                                   s1_raw_v=True)
+
+    # the phi-form temporal term differs from the reference's raw-v one
+    current_phi, _ = interior_terms(u, du, v, phi, dphi, batch, problem, cube)
+    assert float(current_phi) != pytest.approx(float(current), rel=1e-3)
 
     # dense recomputation (reference loss.py:64-73 structure, full mask)
     n, l = u.shape

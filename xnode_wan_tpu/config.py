@@ -62,6 +62,10 @@ class SolverConfig:
     profile_dir: str = ""       # write a jax.profiler trace of iters [3, 8)
     debug_nans: bool = False    # functional-JAX "sanitizer": raise on NaN
     use_pallas: bool = True     # fused Pallas kernel on the TPU eval path
+    grad_clip: float = 0.0      # optax global-norm clip (0 = off, as reference)
+    s1_raw_v: bool = False      # reference-parity temporal term with raw v
+                                # (loss.py:64); default uses phi = v*w, the
+                                # IBP-consistent form (see ops/weak_form.py)
     data_axis: str = "data"     # mesh axis the path batch is sharded over
     p: float = 2.0              # L^p norm for error reporting
 

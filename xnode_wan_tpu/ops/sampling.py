@@ -100,14 +100,20 @@ def stratified_times(key: jax.Array, T0: float, T: float, n: int) -> jax.Array:
 def _unit_sphere(key: jax.Array, n: int, dim: int) -> jax.Array:
     """Uniform directions on S^{dim-1} (reference ``surf``, dataset.py:64-68)."""
     g = jax.random.normal(key, (n, dim), dtype=_fdtype())
-    return g / jnp.linalg.norm(g, axis=-1, keepdims=True)
+    return g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-20)
 
 
 def _ball(key: jax.Array, n: int, dim: int, radius: float) -> jax.Array:
-    """Uniform points in a ball (reference dataset.py:82-83: surf * U^{1/d})."""
+    """Uniform points in a ball (reference dataset.py:82-83: surf * U^{1/d}).
+
+    ``minval`` keeps samples strictly off the origin: ``uniform`` can return
+    an exact 0, and ``grad ||x||`` at x=0 is NaN — it poisons the whole
+    weak-form loss through ``grad(v*w)`` (observed as a deterministic NaN
+    blowup ~6e5 draws into moving-domain training).
+    """
     k1, k2 = jax.random.split(key)
     dirs = _unit_sphere(k1, n, dim)
-    u = jax.random.uniform(k2, (n, 1), dtype=_fdtype())
+    u = jax.random.uniform(k2, (n, 1), dtype=_fdtype(), minval=1e-6)
     return radius * dirs * u ** (1.0 / dim)
 
 

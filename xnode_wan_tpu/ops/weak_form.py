@@ -97,9 +97,20 @@ def _endpoint_indices(mask: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]
 
 
 def interior_terms(u: jax.Array, du: jax.Array, v: jax.Array, phi: jax.Array,
-                   dphi: jax.Array, batch: PathBatch, problem, domain
-                   ) -> Tuple[jax.Array, jax.Array]:
-    """The operator estimate ``I`` and the test-norm ``V sum v^2 / M``."""
+                   dphi: jax.Array, batch: PathBatch, problem, domain,
+                   s1_raw_v: bool = False) -> Tuple[jax.Array, jax.Array]:
+    """The operator estimate ``I`` and the test-norm ``V sum v^2 / M``.
+
+    ``s1_raw_v``: the reference evaluates the temporal-boundary term with
+    the *raw* discriminator ``v`` (``loss.py:64``), but the
+    integration-by-parts identity behind ``s2`` pairs it with the full
+    test function ``phi = v*w`` (which vanishes where a path exits through
+    the moving boundary). On the hypercube the difference is a small bias;
+    on moving domains every path exits and the raw-``v`` term poisons the
+    estimator (observed: cone training stalls at ~14% rel-L2 vs
+    converging with ``phi``). Default is the consistent ``phi`` form;
+    pass True for exact reference parity.
+    """
     dtype = u.dtype
     m = batch.mask.astype(dtype)
     big_m = jnp.maximum(m.sum(), 1.0)
@@ -111,7 +122,8 @@ def interior_terms(u: jax.Array, du: jax.Array, v: jax.Array, phi: jax.Array,
 
     first_pts = batch.x[rows, first]                       # [N, C]
     h_vals = problem.h(first_pts)
-    s1 = (u[rows, last] * v[rows, last] - h_vals * v[rows, first])
+    tf = v if s1_raw_v else phi
+    s1 = (u[rows, last] * tf[rows, last] - h_vals * tf[rows, first])
     s1 = vol * jnp.sum(s1 * row_valid) / n_valid           # loss.py:64
 
     s2 = vol * jnp.sum(u * dphi[..., 0] * m) / big_m       # loss.py:65
@@ -164,8 +176,14 @@ def make_losses(problem, domain, cfg: SolverConfig, u_apply: Callable,
         v, phi, dphi = v_phi_and_grads(v_apply, v_params, batch.x,
                                        domain.func_w)
         current, norm = interior_terms(u, du, v, phi, dphi, batch, problem,
-                                       domain)
-        int_loss = jnp.log(current ** 2) - jnp.log(norm)   # loss.py:87-90
+                                       domain, s1_raw_v=cfg.s1_raw_v)
+        # log-ratio objective (loss.py:87-90). The reference's bare
+        # log(I^2) is singular whenever the residual estimate crosses 0
+        # mid-training (observed NaN blowups on the moving domains); the
+        # floor caps the gradient without moving any non-degenerate optimum.
+        eps = jnp.asarray(1e-12, current.dtype)
+        int_loss = (jnp.log(jnp.maximum(current ** 2, eps))
+                    - jnp.log(jnp.maximum(norm, eps)))
         return int_loss, u, {"I": current, "norm": norm, "int": int_loss}
 
     def loss_u(u_params, v_params, batch, bbatch):

@@ -122,9 +122,17 @@ class NODEWANSolver:
         v_params = init_discriminator(kv, cfg.dim, cfg.v_hidden_dim,
                                       cfg.v_layers, cfg.tied_v)
 
-        # Two Adams, as in the reference (src/training.py:103-104).
-        self._tx_u = optax.adam(cfg.u_rate)
-        self._tx_v = optax.adam(cfg.v_rate)
+        # Two Adams, as in the reference (src/training.py:103-104);
+        # optional global-norm clipping for the adversarial-dynamics
+        # blowups the reference has no defense against.
+        def tx(lr):
+            if cfg.grad_clip > 0:
+                return optax.chain(optax.clip_by_global_norm(cfg.grad_clip),
+                                   optax.adam(lr))
+            return optax.adam(lr)
+
+        self._tx_u = tx(cfg.u_rate)
+        self._tx_v = tx(cfg.v_rate)
         self.state = TrainState(
             u_params=u_params, v_params=v_params,
             opt_u=self._tx_u.init(u_params), opt_v=self._tx_v.init(v_params),
