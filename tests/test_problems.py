@@ -50,6 +50,25 @@ def test_initial_and_boundary_data_consistent(key):
                                np.asarray(problem.u_sol(pts)), rtol=1e-6)
 
 
+def test_ex4_3_consistent_satisfies_pde(key):
+    # The corrected source term must zero the PDE residual at any dim
+    # (the reference's literal f only does at d=2 — see ex4_3.py).
+    for d in (2, 7):
+        problem = load_problem("Ex4_3_consistent", dim=d)
+        pts = jax.random.uniform(key, (16, d + 1), minval=0.05, maxval=0.9)
+        res = jax.vmap(lambda p: pde_residual(problem, p, d))(pts)
+        np.testing.assert_allclose(np.asarray(res), 0.0, atol=1e-4)
+
+
+def test_ex4_3_reference_f_is_inconsistent(key):
+    # The reference's literal f does NOT zero the residual (its nonlinear
+    # term drops the (2/pi)^{-2d} scaling squared) — kept only for parity.
+    problem = load_problem("Ex4_3_funcs", dim=2)
+    pts = jax.random.uniform(key, (16, 3), minval=0.05, maxval=0.9)
+    res = jax.vmap(lambda p: pde_residual(problem, p, 2))(pts)
+    assert float(np.abs(np.asarray(res)).max()) > 1e-3
+
+
 def test_ex4_3_dim_factory(key):
     problem = load_problem("Ex4_3_funcs", dim=3)
     assert problem.dim == 3

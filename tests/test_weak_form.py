@@ -105,6 +105,54 @@ def test_interior_terms_match_dense_reference_formula(setup):
                                float(vol * jnp.mean(v ** 2)), rtol=1e-5)
 
 
+def test_grouped_equals_pooled_on_cube(setup):
+    """On the hypercube every path lives in one exit group, so the grouped
+    objective must equal the pooled log-ratio exactly."""
+    from xnode_wan_tpu.ops.weak_form import grouped_interior_objective
+    cube, batch, u_params, v_params, problem = setup
+
+    def v_apply(p, pts):
+        return apply_discriminator(p, pts, CFG.v_layers, tied=True)
+
+    u, du = u_with_spatial_grad(apply_xnode, u_params, batch, problem, CFG)
+    v, phi, dphi = v_phi_and_grads(v_apply, v_params, batch.x, cube.func_w)
+    gi, gI, gnorm = grouped_interior_objective(u, du, v, phi, dphi, batch,
+                                               problem, cube)
+    current, norm = interior_terms(u, du, v, phi, dphi, batch, problem, cube)
+    pooled = float(jnp.log(current ** 2) - jnp.log(norm))
+    np.testing.assert_allclose(float(gi), pooled, rtol=1e-5)
+    np.testing.assert_allclose(float(gI), float(current), rtol=1e-5)
+
+
+def test_grouped_multi_bin_on_cone(key):
+    """Cone paths exit at different times -> several active groups."""
+    from xnode_wan_tpu.ops.sampling import NSphereTCone
+    from xnode_wan_tpu.ops.weak_form import grouped_interior_objective
+    cone = NSphereTCone(1.0, CFG.dim, CFG.T0, CFG.T, CFG.N_t)
+    batch = cone.interior(key, 32)
+    u_params = init_xnode(jax.random.PRNGKey(2), CFG)
+    v_params = init_discriminator(jax.random.PRNGKey(3), CFG.dim,
+                                  CFG.v_hidden_dim, CFG.v_layers, tied=True)
+    problem = load_problem("cube_pde", dim=CFG.dim)
+
+    def v_apply(p, pts):
+        return apply_discriminator(p, pts, CFG.v_layers, tied=True)
+
+    u, du = u_with_spatial_grad(apply_xnode, u_params, batch, problem, CFG)
+    v, phi, dphi = v_phi_and_grads(v_apply, v_params, batch.x, cone.func_w)
+    gi, gI, gnorm = grouped_interior_objective(u, du, v, phi, dphi, batch,
+                                               problem, cone)
+    assert np.isfinite(float(gi))
+    # grads flow
+    def f(up):
+        uu, dd = u_with_spatial_grad(apply_xnode, up, batch, problem, CFG)
+        out, _, _ = grouped_interior_objective(uu, dd, v, phi, dphi, batch,
+                                               problem, cone)
+        return out
+    g = jax.grad(f)(u_params)
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
+
+
 def test_losses_finite_and_differentiable(setup):
     cube, batch, u_params, v_params, problem = setup
     bbatch = cube.boundary(jax.random.PRNGKey(9), CFG.N_b)

@@ -63,6 +63,12 @@ class SolverConfig:
     debug_nans: bool = False    # functional-JAX "sanitizer": raise on NaN
     use_pallas: bool = True     # fused Pallas kernel on the TPU eval path
     grad_clip: float = 0.0      # optax global-norm clip (0 = off, as reference)
+    lr_decay: float = 1.0       # exponential lr decay rate per 1000 steps
+                                # (1.0 = constant, as reference)
+    group_loss: bool = True     # one log-ratio channel per exit-time path
+                                # group (reference src/training.py:128-137);
+                                # identical to the pooled estimator on the
+                                # hypercube (single group)
     s1_raw_v: bool = False      # reference-parity temporal term with raw v
                                 # (loss.py:64); default uses phi = v*w, the
                                 # IBP-consistent form (see ops/weak_form.py)

@@ -160,6 +160,65 @@ def bdry_loss(u_apply: Callable, u_params, bbatch: PathBatch, problem,
     return jnp.sum((u_b - g_vals) ** 2 * m) / jnp.maximum(m.sum(), 1.0)
 
 
+def grouped_interior_objective(u, du, v, phi, dphi, batch: PathBatch,
+                               problem, domain, s1_raw_v: bool = False
+                               ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-exit-group log-ratio objective (reference group semantics).
+
+    The reference computes a *separate* loss ``log I_g^2 - log norm_g`` per
+    ragged path group (one odeint group per boundary-exit time,
+    ``src/training.py:128-137`` loops groups; ``src/loss.py:87-90``), so
+    the adversary faces one residual channel per group — a much stronger
+    signal on moving domains than a single pooled estimate. TPU-native
+    reconstruction: group = per-path last-valid time index (static ``L``
+    bins), per-bin sums via ``segment_sum``; weights ``V/(N_g L_n)``
+    reproduce the reference's per-group ``V/(N_g L_g)`` exactly. On the
+    hypercube every path lands in bin ``L-1`` and this reduces to the
+    single pooled objective.
+
+    Returns ``(int_loss, I_total, norm_total)``.
+    """
+    dtype = u.dtype
+    l = u.shape[1]
+    m = batch.mask.astype(dtype)
+    vol = jnp.asarray(domain.V(), dtype)
+    eps = jnp.asarray(1e-12, dtype)
+
+    first, last, row_valid = _endpoint_indices(batch.mask)
+    rows = jnp.arange(u.shape[0])
+    rv = row_valid.astype(dtype)
+    seg = jnp.where(row_valid, last, l)          # dead rows -> overflow bin
+    n_g = jax.ops.segment_sum(rv, seg, num_segments=l + 1)[:l]
+    occupied = n_g > 0
+    n_g = jnp.maximum(n_g, 1.0)
+    l_n = jnp.maximum(m.sum(axis=1), 1.0)        # per-path valid count
+
+    first_pts = batch.x[rows, first]
+    h_vals = problem.h(first_pts)
+    tf = v if s1_raw_v else phi
+    s1_n = (u[rows, last] * tf[rows, last] - h_vals * tf[rows, first]) * rv
+
+    X = batch.x
+    c_vals = problem.c(X, u)
+    f_vals = problem.f(X)
+    s3f = (diffusion_term(problem, X, dphi[..., 1:], du)
+           + drift_term(problem, X, phi, du)
+           + c_vals * u * phi + f_vals * phi)
+    s23_n = jnp.sum((s3f - u * dphi[..., 0]) * m, axis=1) / l_n  # [N]
+    v2_n = jnp.sum(v * v * m, axis=1) / l_n
+
+    i_g = vol * jax.ops.segment_sum(s1_n + s23_n * rv, seg,
+                                    num_segments=l + 1)[:l] / n_g
+    norm_g = vol * jax.ops.segment_sum(v2_n * rv, seg,
+                                       num_segments=l + 1)[:l] / n_g
+
+    per_g = (jnp.log(jnp.maximum(i_g ** 2, eps))
+             - jnp.log(jnp.maximum(norm_g, eps)))
+    int_loss = jnp.sum(jnp.where(occupied, per_g, 0.0))
+    return int_loss, jnp.sum(jnp.where(occupied, i_g, 0.0)), \
+        jnp.sum(jnp.where(occupied, norm_g, 0.0))
+
+
 def make_losses(problem, domain, cfg: SolverConfig, u_apply: Callable,
                 v_apply: Callable):
     """Build the two objectives.
@@ -175,15 +234,23 @@ def make_losses(problem, domain, cfg: SolverConfig, u_apply: Callable,
         u, du = u_with_spatial_grad(u_apply, u_params, batch, problem, cfg)
         v, phi, dphi = v_phi_and_grads(v_apply, v_params, batch.x,
                                        domain.func_w)
-        current, norm = interior_terms(u, du, v, phi, dphi, batch, problem,
-                                       domain, s1_raw_v=cfg.s1_raw_v)
-        # log-ratio objective (loss.py:87-90). The reference's bare
-        # log(I^2) is singular whenever the residual estimate crosses 0
-        # mid-training (observed NaN blowups on the moving domains); the
-        # floor caps the gradient without moving any non-degenerate optimum.
-        eps = jnp.asarray(1e-12, current.dtype)
-        int_loss = (jnp.log(jnp.maximum(current ** 2, eps))
-                    - jnp.log(jnp.maximum(norm, eps)))
+        if cfg.group_loss:
+            # per-exit-group channels (reference group semantics)
+            int_loss, current, norm = grouped_interior_objective(
+                u, du, v, phi, dphi, batch, problem, domain,
+                s1_raw_v=cfg.s1_raw_v)
+        else:
+            current, norm = interior_terms(u, du, v, phi, dphi, batch,
+                                           problem, domain,
+                                           s1_raw_v=cfg.s1_raw_v)
+            # log-ratio objective (loss.py:87-90). The reference's bare
+            # log(I^2) is singular whenever the residual estimate crosses 0
+            # mid-training (observed NaN blowups on the moving domains);
+            # the floor caps the gradient without moving any
+            # non-degenerate optimum.
+            eps = jnp.asarray(1e-12, current.dtype)
+            int_loss = (jnp.log(jnp.maximum(current ** 2, eps))
+                        - jnp.log(jnp.maximum(norm, eps)))
         return int_loss, u, {"I": current, "norm": norm, "int": int_loss}
 
     def loss_u(u_params, v_params, batch, bbatch):

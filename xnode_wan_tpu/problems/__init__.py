@@ -81,8 +81,16 @@ def load_problem(spec: str, dim: Optional[int] = None) -> Problem:
         "ex4_1": "xnode_wan_tpu.problems.ex4_1",
         "Ex4_3_funcs": "xnode_wan_tpu.problems.ex4_3",
         "ex4_3": "xnode_wan_tpu.problems.ex4_3",
+        "Ex4_3_consistent": "xnode_wan_tpu.problems.ex4_3:consistent",
+        "ex4_3_consistent": "xnode_wan_tpu.problems.ex4_3:consistent",
     }
-    module = importlib.import_module(aliases.get(spec, spec))
+    target = aliases.get(spec, spec)
+    variant = None
+    if ":" in target:
+        target, variant = target.split(":", 1)
+    module = importlib.import_module(target)
+    if variant == "consistent":
+        return module.get_problem_consistent(dim)
     if hasattr(module, "get_problem"):
         return module.get_problem(dim)
     return module.PROBLEM

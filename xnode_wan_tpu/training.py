@@ -126,10 +126,14 @@ class NODEWANSolver:
         # optional global-norm clipping for the adversarial-dynamics
         # blowups the reference has no defense against.
         def tx(lr):
+            if cfg.lr_decay < 1.0:
+                lr = optax.exponential_decay(lr, transition_steps=1000,
+                                             decay_rate=cfg.lr_decay)
+            adam = optax.adam(lr)
             if cfg.grad_clip > 0:
                 return optax.chain(optax.clip_by_global_norm(cfg.grad_clip),
-                                   optax.adam(lr))
-            return optax.adam(lr)
+                                   adam)
+            return adam
 
         self._tx_u = tx(cfg.u_rate)
         self._tx_v = tx(cfg.v_rate)
@@ -143,6 +147,7 @@ class NODEWANSolver:
             problem, self.domain, cfg, self._u_apply, v_apply)
         self._outer = jax.jit(self._outer_step, donate_argnums=0)
         self._outer_chunk_cache = {}
+        self._train_until_cache = {}
         self._predict = jax.jit(
             lambda u_params, pts: self._u_eval_points(u_params, pts,
                                                       self.problem, self.cfg))
@@ -246,47 +251,71 @@ class NODEWANSolver:
         last["iterations_run"] = done
         return last
 
-    def train_until(self, rel_tol: float, max_iters: int):
-        """Train to a relative-L^p tolerance in ONE device program.
+    def train_until(self, rel_tol: float, max_iters: int,
+                    window: int = 200):
+        """Train to a relative-L^p tolerance with on-device stop checking.
 
         ``lax.while_loop`` over the outer step with the reference's stop
         criterion (``rel_err < tol``, reference ``configs/Ex4_1_funcs.py:36``)
-        evaluated on-device: a single dispatch and a single host fetch
-        regardless of how many iterations convergence takes. Records the
-        per-iteration (loss_u, L2, rel_err) trajectory into preallocated
-        buffers. Requires the problem to ship an exact solution.
+        evaluated on-device, in windows of at most ``window`` iterations —
+        one dispatch and one tiny host fetch per window. (A window caps
+        single-program runtime: multi-minute device programs trip
+        execution watchdogs — observed as 'TPU worker crashed' on long
+        d=20 runs — and bound the trajectory-buffer size.) Records the
+        per-iteration (loss_u, L2, rel_err) trajectory. Requires the
+        problem to ship an exact solution.
         """
         if self.problem.u_sol is None:
             raise ValueError("train_until needs problem.u_sol")
+        window = min(window, max_iters)
 
-        @functools.partial(jax.jit, donate_argnums=0)
-        def run(state):
-            hist = {
-                "loss_u": jnp.full((max_iters,), jnp.nan),
-                "L2": jnp.full((max_iters,), jnp.nan),
-                "rel_err": jnp.full((max_iters,), jnp.nan),
-            }
+        if window not in self._train_until_cache:
+            @functools.partial(jax.jit, donate_argnums=0,
+                               static_argnums=(1,))
+            def run(state, tol):
+                hist = {
+                    "loss_u": jnp.full((window,), jnp.nan),
+                    "L2": jnp.full((window,), jnp.nan),
+                    "rel_err": jnp.full((window,), jnp.nan),
+                }
 
-            def cond(carry):
-                _, k, rel, _ = carry
-                return (k < max_iters) & (rel > rel_tol)
+                def cond(carry):
+                    _, k, rel, _ = carry
+                    return (k < window) & (rel > tol)
 
-            def body(carry):
-                state, k, _, hist = carry
-                state, m = self._outer_step(state)
-                hist = {name: buf.at[k].set(m[name])
-                        for name, buf in hist.items()}
-                return state, k + 1, m["rel_err"], hist
+                def body(carry):
+                    state, k, _, hist = carry
+                    state, m = self._outer_step(state)
+                    hist = {name: buf.at[k].set(m[name])
+                            for name, buf in hist.items()}
+                    return state, k + 1, m["rel_err"], hist
 
-            return jax.lax.while_loop(
-                cond, body, (state, jnp.zeros((), jnp.int32),
-                             jnp.asarray(jnp.inf), hist))
+                return jax.lax.while_loop(
+                    cond, body, (state, jnp.zeros((), jnp.int32),
+                                 jnp.asarray(jnp.inf), hist))
 
-        self.state, iters, rel, hist = run(self.state)
-        iters = int(iters)
-        out = {k: jax.device_get(v)[:iters] for k, v in hist.items()}
-        out["iterations_run"] = iters
-        out["rel_err_final"] = float(rel)
+            self._train_until_cache[window] = run
+        run = self._train_until_cache[window]
+
+        done = 0
+        rel = float("inf")
+        chunks = {"loss_u": [], "L2": [], "rel_err": []}
+        while done < max_iters and rel > rel_tol:
+            self.state, k, rel_dev, hist = run(self.state, float(rel_tol))
+            k = int(k)
+            rel = float(rel_dev)
+            h = jax.device_get(hist)
+            for name in chunks:
+                chunks[name].append(h[name][:k])
+            done += k
+            if k == 0:
+                break
+
+        import numpy as _np
+        out = {name: _np.concatenate(parts) if parts else _np.zeros((0,))
+               for name, parts in chunks.items()}
+        out["iterations_run"] = done
+        out["rel_err_final"] = rel
         self._save_best()
         self.save_checkpoint()
         return out
