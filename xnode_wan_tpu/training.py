@@ -252,7 +252,7 @@ class NODEWANSolver:
         return last
 
     def train_until(self, rel_tol: float, max_iters: int,
-                    window: int = 200):
+                    window: int = 200, window_target_s: float = 60.0):
         """Train to a relative-L^p tolerance with on-device stop checking.
 
         ``lax.while_loop`` over the outer step with the reference's stop
@@ -261,47 +261,28 @@ class NODEWANSolver:
         one dispatch and one tiny host fetch per window. (A window caps
         single-program runtime: multi-minute device programs trip
         execution watchdogs — observed as 'TPU worker crashed' on long
-        d=20 runs — and bound the trajectory-buffer size.) Records the
-        per-iteration (loss_u, L2, rel_err) trajectory. Requires the
-        problem to ship an exact solution.
+        d=20 runs — and bound the trajectory-buffer size. The window is
+        halved whenever a full window overruns ``window_target_s``.)
+        Records the per-iteration (loss_u, L2, rel_err) trajectory.
+        Requires the problem to ship an exact solution.
         """
         if self.problem.u_sol is None:
             raise ValueError("train_until needs problem.u_sol")
         window = min(window, max_iters)
 
-        if window not in self._train_until_cache:
-            @functools.partial(jax.jit, donate_argnums=0,
-                               static_argnums=(1,))
-            def run(state, tol):
-                hist = {
-                    "loss_u": jnp.full((window,), jnp.nan),
-                    "L2": jnp.full((window,), jnp.nan),
-                    "rel_err": jnp.full((window,), jnp.nan),
-                }
-
-                def cond(carry):
-                    _, k, rel, _ = carry
-                    return (k < window) & (rel > tol)
-
-                def body(carry):
-                    state, k, _, hist = carry
-                    state, m = self._outer_step(state)
-                    hist = {name: buf.at[k].set(m[name])
-                            for name, buf in hist.items()}
-                    return state, k + 1, m["rel_err"], hist
-
-                return jax.lax.while_loop(
-                    cond, body, (state, jnp.zeros((), jnp.int32),
-                                 jnp.asarray(jnp.inf), hist))
-
-            self._train_until_cache[window] = run
-        run = self._train_until_cache[window]
+        def get_run(window):
+            if window not in self._train_until_cache:
+                self._train_until_cache[window] = self._build_train_until(
+                    window)
+            return self._train_until_cache[window]
 
         done = 0
         rel = float("inf")
         chunks = {"loss_u": [], "L2": [], "rel_err": []}
         while done < max_iters and rel > rel_tol:
-            self.state, k, rel_dev, hist = run(self.state, float(rel_tol))
+            t0 = time.time()
+            self.state, k, rel_dev, hist = get_run(window)(
+                self.state, float(rel_tol))
             k = int(k)
             rel = float(rel_dev)
             h = jax.device_get(hist)
@@ -310,6 +291,10 @@ class NODEWANSolver:
             done += k
             if k == 0:
                 break
+            # full window overran the per-program budget: halve it
+            if (k == window and window > 8
+                    and time.time() - t0 > window_target_s):
+                window = max(8, window // 2)
 
         import numpy as _np
         out = {name: _np.concatenate(parts) if parts else _np.zeros((0,))
@@ -319,6 +304,32 @@ class NODEWANSolver:
         self._save_best()
         self.save_checkpoint()
         return out
+
+    def _build_train_until(self, window: int):
+        @functools.partial(jax.jit, donate_argnums=0, static_argnums=(1,))
+        def run(state, tol):
+            hist = {
+                "loss_u": jnp.full((window,), jnp.nan),
+                "L2": jnp.full((window,), jnp.nan),
+                "rel_err": jnp.full((window,), jnp.nan),
+            }
+
+            def cond(carry):
+                _, k, rel, _ = carry
+                return (k < window) & (rel > tol)
+
+            def body(carry):
+                state, k, _, hist = carry
+                state, m = self._outer_step(state)
+                hist = {name: buf.at[k].set(m[name])
+                        for name, buf in hist.items()}
+                return state, k + 1, m["rel_err"], hist
+
+            return jax.lax.while_loop(
+                cond, body, (state, jnp.zeros((), jnp.int32),
+                             jnp.asarray(jnp.inf), hist))
+
+        return run
 
     # ------------------------------------------------------------------
     def _should_stop(self, metrics: Mapping[str, float]) -> bool:
