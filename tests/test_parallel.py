@@ -55,6 +55,23 @@ def test_batch_actually_sharded():
     assert len(shardings.device_set) == 8
 
 
+def test_2d_mesh_tangent_parallel(tmp_path):
+    """4x2 (data x tangent) mesh: trajectory matches the 1-D mesh."""
+    from xnode_wan_tpu.parallel.mesh import make_mesh_2d
+    problem = load_problem("cube_pde", dim=2)
+    cfg = CFG.replace(iterations=3, tangent_shards=2)
+    mesh = make_mesh_2d(jax.devices(), tangent_shards=2)
+    assert mesh.shape == {"data": 4, "tangent": 2}
+    s2d = NODEWANSolver(cfg, problem, work_dir=str(tmp_path / "2d"),
+                        mesh=mesh)
+    m2 = s2d.train(report=False)
+    s1d = NODEWANSolver(CFG.replace(iterations=3), problem,
+                        work_dir=str(tmp_path / "1d"),
+                        devices=jax.devices()[:1])
+    m1 = s1d.train(report=False)
+    assert m2["loss_u"] == pytest.approx(m1["loss_u"], rel=1e-3)
+
+
 def test_odd_batch_rounded_to_shards():
     problem = load_problem("cube_pde", dim=2)
     mesh = make_mesh(jax.devices())

@@ -73,6 +73,8 @@ class SolverConfig:
                                 # (loss.py:64); default uses phi = v*w, the
                                 # IBP-consistent form (see ops/weak_form.py)
     data_axis: str = "data"     # mesh axis the path batch is sharded over
+    tangent_shards: int = 1     # >1: 2-D mesh, forward-mode tangent batch
+                                # sharded over a second axis (d=20-50 runs)
     p: float = 2.0              # L^p norm for error reporting
 
     def __post_init__(self):

@@ -47,13 +47,15 @@ from xnode_wan_tpu.ops.sampling import PathBatch, _assemble
 
 
 def u_with_spatial_grad(u_apply: Callable, u_params, batch: PathBatch,
-                        problem, cfg: SolverConfig
+                        problem, cfg: SolverConfig, tangent_sharding=None
                         ) -> Tuple[jax.Array, jax.Array]:
     """u values ``[N, L]`` and pointwise spatial gradients ``[N, L, d]``.
 
     Forward-mode through the integrator: one nonlinear scan plus ``d``
     linearized passes (``jax.linearize`` + vmapped tangents), each a full
-    ``[N, ...]``-batched scan on the MXU.
+    ``[N, ...]``-batched scan on the MXU. ``tangent_sharding`` optionally
+    pins the d-sized tangent batch onto a mesh axis (2-D mesh tangent
+    parallelism, see ``parallel/mesh.py::make_mesh_2d``).
     """
     xs0 = batch.space[:, 0, :]  # [N, d]
 
@@ -68,6 +70,8 @@ def u_with_spatial_grad(u_apply: Callable, u_params, batch: PathBatch,
         return lin(jnp.broadcast_to(e, xs0.shape))
 
     du = jax.vmap(tangent)(basis)            # [d, N, L]
+    if tangent_sharding is not None:
+        du = jax.lax.with_sharding_constraint(du, tangent_sharding)
     return u, jnp.moveaxis(du, 0, -1)        # [N, L, d]
 
 
@@ -220,7 +224,7 @@ def grouped_interior_objective(u, du, v, phi, dphi, batch: PathBatch,
 
 
 def make_losses(problem, domain, cfg: SolverConfig, u_apply: Callable,
-                v_apply: Callable):
+                v_apply: Callable, mesh=None):
     """Build the two objectives.
 
     ``loss_u(u_params, v_params, batch, bbatch)`` — minimized by the primal
@@ -229,9 +233,16 @@ def make_losses(problem, domain, cfg: SolverConfig, u_apply: Callable,
     (reference ``loss.v``, loss.py:95-96).
     Both return ``(loss, aux_dict)``.
     """
+    tangent_sharding = None
+    if (mesh is not None and cfg.tangent_shards > 1
+            and "tangent" in mesh.axis_names):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        tangent_sharding = NamedSharding(
+            mesh, P("tangent", cfg.data_axis, None))
 
     def int_objective(u_params, v_params, batch):
-        u, du = u_with_spatial_grad(u_apply, u_params, batch, problem, cfg)
+        u, du = u_with_spatial_grad(u_apply, u_params, batch, problem, cfg,
+                                    tangent_sharding=tangent_sharding)
         v, phi, dphi = v_phi_and_grads(v_apply, v_params, batch.x,
                                        domain.func_w)
         if cfg.group_loss:

@@ -30,6 +30,26 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
     return Mesh(np.array(devices), (axis,))
 
 
+def make_mesh_2d(devices: Optional[Sequence[jax.Device]] = None,
+                 data_axis: str = "data", tangent_axis: str = "tangent",
+                 tangent_shards: int = 2) -> Mesh:
+    """2-D mesh: Monte-Carlo paths over ``data``, forward-mode derivative
+    directions over ``tangent``.
+
+    The weak form needs ``d`` tangent passes through the integrator for
+    ``grad_x u`` (``ops/weak_form.py``); at d=20-50 that batch is the
+    second-largest axis in the program and shards cleanly — the
+    sequence-parallel analogue for this workload (SURVEY §2's "natural
+    analogue if stressed").
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    import numpy as np
+    n = len(devices)
+    assert n % tangent_shards == 0, (n, tangent_shards)
+    arr = np.array(devices).reshape(n // tangent_shards, tangent_shards)
+    return Mesh(arr, (data_axis, tangent_axis))
+
+
 def round_up(n: int, k: int) -> int:
     return -(-n // k) * k
 

@@ -99,7 +99,13 @@ class NODEWANSolver:
         if self.mesh is None:
             devs = devices if devices is not None else jax.devices()
             if len(devs) > 1:
-                self.mesh = make_mesh(devs, cfg.data_axis)
+                if cfg.tangent_shards > 1:
+                    from xnode_wan_tpu.parallel.mesh import make_mesh_2d
+                    self.mesh = make_mesh_2d(
+                        devs, cfg.data_axis,
+                        tangent_shards=cfg.tangent_shards)
+                else:
+                    self.mesh = make_mesh(devs, cfg.data_axis)
         n_shards = self.mesh.size if self.mesh is not None else 1
         # Shard-divisible Monte-Carlo batch sizes.
         cfg = cfg.replace(N_r=round_up(cfg.N_r, n_shards),
@@ -144,7 +150,8 @@ class NODEWANSolver:
         )
 
         self._loss_u, self._loss_v = make_losses(
-            problem, self.domain, cfg, self._u_apply, v_apply)
+            problem, self.domain, cfg, self._u_apply, v_apply,
+            mesh=self.mesh)
         self._outer = jax.jit(self._outer_step, donate_argnums=0)
         self._outer_chunk_cache = {}
         self._train_until_cache = {}
