@@ -93,9 +93,11 @@ def test_cone_volume_monte_carlo(cone, key):
 
 
 def test_cone_boundary_on_surface(cone, key):
-    b = cone.boundary(key, 512)
+    import dataclasses
+    pts = dataclasses.replace(cone, path_boundary=False)
+    b = pts.boundary(key, 512)
     assert b.x.shape == (512, 1, 4)
-    w = np.asarray(cone.func_w(b.x))
+    w = np.asarray(pts.func_w(b.x))
     assert np.allclose(w, 0.0, atol=1e-5)
     t = np.asarray(b.times[:, 0])
     assert (t >= 0).all() and (t <= 1).all()
@@ -103,6 +105,21 @@ def test_cone_boundary_on_surface(cone, key):
     # E[t] for density (d+1)(1-t)^d on [0,1] is 1/(d+2)
     assert t.mean() == pytest.approx(1.0 / (3 + 2), abs=0.02)
     assert not bool(b.seed_from_h.any())
+
+
+def test_cone_boundary_paths(cone, key):
+    # default mode: paths from T0 whose FINAL sample lies on the boundary
+    assert cone.boundary_at_exit
+    b = cone.boundary(key, 128)
+    assert b.x.shape == (128, cone.N_t, 4)
+    w_last = np.asarray(cone.func_w(b.x[:, -1, :]))
+    assert np.allclose(w_last, 0.0, atol=1e-5)
+    w_inner = np.asarray(cone.func_w(b.x[:, :-1, :]))
+    assert (w_inner >= -1e-6).all()  # history stays inside (or on) the domain
+    assert bool(b.seed_from_h.all())
+    assert np.allclose(np.asarray(b.t_start), 0.0)
+    ts = np.asarray(b.times)
+    assert (np.diff(ts, axis=1) >= -1e-7).all()
 
 
 @pytest.fixture
@@ -146,9 +163,21 @@ def test_hourglass_volume_monte_carlo(hourglass, key):
 
 
 def test_hourglass_boundary(hourglass, key):
-    b = hourglass.boundary(key, 512)
-    w = np.asarray(hourglass.func_w(b.x))
+    import dataclasses
+    pts = dataclasses.replace(hourglass, path_boundary=False)
+    b = pts.boundary(key, 512)
+    w = np.asarray(pts.func_w(b.x))
     assert np.allclose(w, 0.0, atol=1e-5)
+
+
+def test_hourglass_boundary_paths(hourglass, key):
+    b = hourglass.boundary(key, 128)
+    assert b.x.shape == (128, hourglass.N_t, 3)
+    # final sample on the (descending-branch) boundary
+    w_last = np.asarray(hourglass.func_w(b.x[:, -1, :]))
+    assert np.allclose(w_last, 0.0, atol=1e-5)
+    # exit times never exceed the waist
+    assert (np.asarray(b.times[:, -1]) <= hourglass.mid + 1e-6).all()
 
 
 def test_make_domain_registry():

@@ -65,6 +65,9 @@ class SolverConfig:
     grad_clip: float = 0.0      # optax global-norm clip (0 = off, as reference)
     lr_decay: float = 1.0       # exponential lr decay rate per 1000 steps
                                 # (1.0 = constant, as reference)
+    boundary_paths: bool = True  # moving domains: boundary-anchored paths
+                                # supervised at the exit point (False =
+                                # reference-parity single-time points)
     group_loss: bool = True     # one log-ratio channel per exit-time path
                                 # group (reference src/training.py:128-137);
                                 # identical to the pooled estimator on the

@@ -211,6 +211,15 @@ class NSphereTCone:
     Time-varying domain; paths start inside at ``T0`` and leave when the
     boundary sweeps past them — the reference's reverse-time binning into
     ragged groups (``:185-201``) becomes the mask ``t < 1 - |x|/r``.
+
+    ``path_boundary``: the reference supervises the boundary with
+    single-time points (``:203-214``), but on a single-time path the XNODE
+    reduces to ``readout(lift(g))`` — a scalar map that never constrains
+    the ODE field. With ``path_boundary=True`` (default) each boundary
+    sample becomes a *path*: integrate from ``T0`` (h-seed) along the
+    frozen spatial point up to its exact exit time ``t_b = 1 - |x_b|/r``
+    and compare ``u(t_b, x_b)`` with ``g`` there (``boundary_at_exit``).
+    ``False`` restores reference-parity single-point supervision.
     """
 
     shape_param: float  # radius r
@@ -218,16 +227,21 @@ class NSphereTCone:
     T0: float
     T: float
     N_t: int
+    path_boundary: bool = True
 
     @property
     def r(self) -> float:
         return float(self.shape_param)
 
+    @property
+    def boundary_at_exit(self) -> bool:
+        return self.path_boundary
+
     def interior_rows(self, n_r: int) -> int:
         return n_r
 
     def boundary_len(self) -> int:
-        return 1
+        return self.N_t if self.path_boundary else 1
 
     def interior(self, key: jax.Array, n_r: int) -> PathBatch:
         kt, kx = jax.random.split(key)
@@ -250,7 +264,8 @@ class NSphereTCone:
 
         Inverse-CDF replacement for the reference's per-time-slice counts
         ``n_l = int(N_b (1-t_l)^d)`` (``src/dataset.py:203-214``): same
-        distribution, static shape ``[N_b, 1, C]``.
+        distribution; static shape ``[N_b, 1, C]`` (single points) or
+        ``[N_b, N_t, C]`` (boundary-anchored paths, see class docstring).
         """
         kt, kd = jax.random.split(key)
         d1 = self.dim + 1
@@ -260,11 +275,22 @@ class NSphereTCone:
         t = 1.0 - (hi - u * (hi - lo)) ** (1.0 / d1)
         dirs = _unit_sphere(kd, n_b, self.dim)
         x = dirs * (self.r * (1.0 - t))[:, None]
+        if not self.path_boundary:
+            return PathBatch(
+                x=_assemble(t[:, None], x),
+                mask=jnp.ones((n_b, 1), dtype=bool),
+                t_start=t,
+                seed_from_h=jnp.zeros((n_b,), dtype=bool),
+            )
+        # path from T0 to the exit point: final sample lies exactly on the
+        # moving boundary, intermediate samples are interior history
+        frac = jnp.linspace(0.0, 1.0, self.N_t, dtype=_fdtype())
+        times = self.T0 + frac[None, :] * (t[:, None] - self.T0)
         return PathBatch(
-            x=_assemble(t[:, None], x),
-            mask=jnp.ones((n_b, 1), dtype=bool),
-            t_start=t,
-            seed_from_h=jnp.zeros((n_b,), dtype=bool),
+            x=_assemble(times, x),
+            mask=jnp.ones((n_b, self.N_t), dtype=bool),
+            t_start=jnp.full((n_b,), self.T0, dtype=_fdtype()),
+            seed_from_h=jnp.ones((n_b,), dtype=bool),
         )
 
     def func_w(self, x: jax.Array) -> jax.Array:
@@ -297,10 +323,15 @@ class NSphereTHourglass:
     T0: float
     T: float
     N_t: int
+    path_boundary: bool = True
 
     @property
     def r(self) -> float:
         return float(self.shape_param)
+
+    @property
+    def boundary_at_exit(self) -> bool:
+        return self.path_boundary
 
     @property
     def mid(self) -> float:
@@ -314,7 +345,7 @@ class NSphereTHourglass:
         return 2 * n_r
 
     def boundary_len(self) -> int:
-        return 1
+        return self.N_t if self.path_boundary else 1
 
     def interior(self, key: jax.Array, n_r: int) -> PathBatch:
         kt, kx = jax.random.split(key)
@@ -357,11 +388,25 @@ class NSphereTHourglass:
         t = jnp.where(u <= c_mid, t_desc, t_asc)
         dirs = _unit_sphere(kd, n_b, self.dim)
         x = dirs * self.radius_at(t)[:, None]
+        if not self.path_boundary:
+            return PathBatch(
+                x=_assemble(t[:, None], x),
+                mask=jnp.ones((n_b, 1), dtype=bool),
+                t_start=t,
+                seed_from_h=jnp.zeros((n_b,), dtype=bool),
+            )
+        # A boundary point at radius rho is hit from inside at
+        # t_hit = min(t_b, span - t_b): ascending-branch samples share
+        # their spatial point with a descending-branch exit (|x| = r t_b
+        # = R(span - t_b)), so the from-T0 path reaches the boundary there.
+        t_hit = jnp.minimum(t, span - t)
+        frac = jnp.linspace(0.0, 1.0, self.N_t, dtype=_fdtype())
+        times = self.T0 + frac[None, :] * (t_hit[:, None] - self.T0)
         return PathBatch(
-            x=_assemble(t[:, None], x),
-            mask=jnp.ones((n_b, 1), dtype=bool),
-            t_start=t,
-            seed_from_h=jnp.zeros((n_b,), dtype=bool),
+            x=_assemble(times, x),
+            mask=jnp.ones((n_b, self.N_t), dtype=bool),
+            t_start=jnp.full((n_b,), self.T0, dtype=_fdtype()),
+            seed_from_h=jnp.ones((n_b,), dtype=bool),
         )
 
     def func_w(self, x: jax.Array) -> jax.Array:
@@ -445,7 +490,8 @@ class CombLoader:
         return (self.interioru, self.interiorv, self.boundary)
 
 
-def make_domain(name: str, shape_param, dim: int, T0: float, T: float, N_t: int):
+def make_domain(name: str, shape_param, dim: int, T0: float, T: float,
+                N_t: int, path_boundary: bool = True):
     """Registry-based domain construction (replaces the reference's
     ``eval(params['domain'])``, ``src/training.py:84``)."""
     try:
@@ -455,8 +501,8 @@ def make_domain(name: str, shape_param, dim: int, T0: float, T: float, N_t: int)
             f"unknown domain {name!r}; available: {sorted(set(DOMAIN_REGISTRY))}"
         ) from None
     if cls is Hypercube:
-        shape_param = tuple(shape_param)
-    else:
-        if isinstance(shape_param, (tuple, list)):
-            shape_param = float(shape_param[-1])
-    return cls(shape_param, dim, float(T0), float(T), int(N_t))
+        return cls(tuple(shape_param), dim, float(T0), float(T), int(N_t))
+    if isinstance(shape_param, (tuple, list)):
+        shape_param = float(shape_param[-1])
+    return cls(shape_param, dim, float(T0), float(T), int(N_t),
+               path_boundary=path_boundary)

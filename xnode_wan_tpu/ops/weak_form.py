@@ -156,9 +156,22 @@ def init_loss(u: jax.Array, batch: PathBatch, problem) -> jax.Array:
 
 
 def bdry_loss(u_apply: Callable, u_params, bbatch: PathBatch, problem,
-              cfg: SolverConfig) -> jax.Array:
-    """``mean (u(BX) - g(BX))^2`` over valid boundary samples (loss.py:83-85)."""
+              cfg: SolverConfig, at_exit: bool = False) -> jax.Array:
+    """``mean (u(BX) - g(BX))^2`` over valid boundary samples (loss.py:83-85).
+
+    ``at_exit=True``: boundary-anchored *paths* (moving domains with
+    ``path_boundary``) — only the final sample of each path lies on the
+    boundary, so u is compared with g there alone; the interior history
+    exists to drive the ODE to that point.
+    """
     u_b = u_apply(u_params, bbatch, problem, cfg)
+    if at_exit:
+        _, last, row_valid = _endpoint_indices(bbatch.mask)
+        rows = jnp.arange(u_b.shape[0])
+        g_vals = problem.g(bbatch.x[rows, last])
+        w = row_valid.astype(u_b.dtype)
+        sq = (u_b[rows, last] - g_vals) ** 2
+        return jnp.sum(sq * w) / jnp.maximum(w.sum(), 1.0)
     g_vals = problem.g(bbatch.x)
     m = bbatch.mask.astype(u_b.dtype)
     return jnp.sum((u_b - g_vals) ** 2 * m) / jnp.maximum(m.sum(), 1.0)
@@ -264,10 +277,13 @@ def make_losses(problem, domain, cfg: SolverConfig, u_apply: Callable,
                         - jnp.log(jnp.maximum(norm, eps)))
         return int_loss, u, {"I": current, "norm": norm, "int": int_loss}
 
+    bdry_at_exit = bool(getattr(domain, "boundary_at_exit", False))
+
     def loss_u(u_params, v_params, batch, bbatch):
         int_loss, u, aux = int_objective(u_params, v_params, batch)
         init = init_loss(u, batch, problem)
-        bdry = bdry_loss(u_apply, u_params, bbatch, problem, cfg)
+        bdry = bdry_loss(u_apply, u_params, bbatch, problem, cfg,
+                         at_exit=bdry_at_exit)
         total = int_loss + cfg.alpha * (init + bdry)
         aux = dict(aux, init=init, bdry=bdry, loss_u=total)
         return total, aux
