@@ -123,12 +123,6 @@ class NODEWANSolver:
 
         self._v_apply = v_apply
 
-        key = jax.random.PRNGKey(cfg.seed)
-        key, ku, kv = jax.random.split(key, 3)
-        u_params = init_fn(ku, cfg)
-        v_params = init_discriminator(kv, cfg.dim, cfg.v_hidden_dim,
-                                      cfg.v_layers, cfg.tied_v)
-
         # Two Adams, as in the reference (src/training.py:103-104);
         # optional global-norm clipping for the adversarial-dynamics
         # blowups the reference has no defense against.
@@ -144,11 +138,8 @@ class NODEWANSolver:
 
         self._tx_u = tx(cfg.u_rate)
         self._tx_v = tx(cfg.v_rate)
-        self.state = TrainState(
-            u_params=u_params, v_params=v_params,
-            opt_u=self._tx_u.init(u_params), opt_v=self._tx_v.init(v_params),
-            key=key, step=jnp.zeros((), jnp.int32),
-        )
+        self._init_fn = init_fn
+        self._reinit_state(jax.random.PRNGKey(cfg.seed))
 
         self._loss_u, self._loss_v = make_losses(
             problem, self.domain, cfg, self._u_apply, v_apply,
@@ -162,6 +153,22 @@ class NODEWANSolver:
 
         self.best_l = float("inf")
         self.logger = RunLogger(cfg.dim, work_dir)
+
+    def _reinit_state(self, key: jax.Array) -> None:
+        """Fresh parameters + optimizer states from ``key`` (construction
+        and multi-start restarts)."""
+        from xnode_wan_tpu.models.discriminator import init_discriminator
+        cfg = self.cfg
+        key, ku, kv = jax.random.split(key, 3)
+        u_params = self._init_fn(ku, cfg)
+        v_params = init_discriminator(kv, cfg.dim, cfg.v_hidden_dim,
+                                      cfg.v_layers, cfg.tied_v)
+        self.state = TrainState(
+            u_params=u_params, v_params=v_params,
+            opt_u=self._tx_u.init(u_params),
+            opt_v=self._tx_v.init(v_params),
+            key=key, step=jnp.zeros((), jnp.int32),
+        )
 
     # ------------------------------------------------------------------
     def _sample(self, key):
@@ -260,7 +267,8 @@ class NODEWANSolver:
         return last
 
     def train_until(self, rel_tol: float, max_iters: int,
-                    window: int = 200, window_target_s: float = 60.0):
+                    window: int = 200, window_target_s: float = 60.0,
+                    stall_action: str = "none"):
         """Train to a relative-L^p tolerance with on-device stop checking.
 
         ``lax.while_loop`` over the outer step with the reference's stop
@@ -286,6 +294,7 @@ class NODEWANSolver:
 
         done = 0
         rel = float("inf")
+        best_rel = float("inf")
         chunks = {"loss_u": [], "L2": [], "rel_err": []}
         while done < max_iters and rel > rel_tol:
             t0 = time.time()
@@ -303,6 +312,29 @@ class NODEWANSolver:
             if (k == window and window > 8
                     and time.time() - t0 > window_target_s):
                 window = max(8, window // 2)
+            # Adversarial-stall self-healing: WAN training occasionally
+            # locks into a bad min-max basin (seed-dependent; observed at
+            # d=20, where ~1/3 of seeds stall at ~30% rel while the rest
+            # converge in <200 iterations). "reinit_v" replaces the
+            # adversary (keeps primal progress); "restart" is a full
+            # multi-start reroll — empirically required, since a stuck
+            # primal re-teaches a fresh adversary the same cycle.
+            window_min = float(h["rel_err"][:k].min())
+            stalled = k == window and window_min > best_rel * 0.99
+            if stalled and stall_action == "reinit_v":
+                from xnode_wan_tpu.models.discriminator import \
+                    init_discriminator
+                key, kv = jax.random.split(self.state.key)
+                v_params = init_discriminator(
+                    kv, self.cfg.dim, self.cfg.v_hidden_dim,
+                    self.cfg.v_layers, self.cfg.tied_v)
+                self.state = self.state.replace(
+                    v_params=v_params, opt_v=self._tx_v.init(v_params),
+                    key=key)
+            elif stalled and stall_action == "restart":
+                self._reinit_state(jax.random.fold_in(self.state.key, done))
+                best_rel = float("inf")
+            best_rel = min(best_rel, window_min)
 
         import numpy as _np
         out = {name: _np.concatenate(parts) if parts else _np.zeros((0,))
