@@ -31,3 +31,14 @@ def rel_err(u_vals: jax.Array, sol_vals: jax.Array, mask: jax.Array,
             volume, p: float) -> jax.Array:
     return (l_norm(u_vals, sol_vals, mask, volume, p)
             / l_norm(u_vals, sol_vals, mask, volume, p, error=False))
+
+
+def l_norm_reference_api(batch, u_apply_fn, p: float, func_u_sol,
+                         volume, n_r: int, error: bool = True) -> jax.Array:
+    """Reference-signature shim (``L_norm(X, u_net, p, func_u_sol, volume,
+    N_r)``, reference ``utils/auxillary_funcs.py:7-22``) over a
+    :class:`PathBatch` instead of ragged group lists."""
+    del n_r  # masked weighting supersedes the reference's n_k/N_r weights
+    u_vals = u_apply_fn(batch)
+    return l_norm(u_vals, func_u_sol(batch.x), batch.mask, volume, p,
+                  error=error)
