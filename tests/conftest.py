@@ -17,6 +17,12 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 import pytest  # noqa: E402
 
+# Belt-and-braces: the env vars above are not honored once the image's
+# sitecustomize has force-registered the axon TPU plugin, but the config
+# knob IS (same mechanism __graft_entry__.dryrun_multichip uses). Must run
+# before any backend initialization.
+jax.config.update("jax_platforms", "cpu")
+
 
 @pytest.fixture
 def key():

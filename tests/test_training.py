@@ -169,3 +169,37 @@ def test_hourglass_domain_trains(tmp_path):
     solver = NODEWANSolver(cfg, problem, work_dir=str(tmp_path))
     m = solver.train(report=False)
     assert np.isfinite(m["loss_u"])
+
+
+def test_independent_uv_parity_flag(problem, tmp_path):
+    # reference-parity estimator: independent v-side interior cloud
+    # (reference src/dataset.py:306-310); must train and differ from the
+    # shared-cloud default at identical seed
+    solver = NODEWANSolver(SMALL.replace(independent_uv=True, iterations=5),
+                           problem, work_dir=str(tmp_path))
+    m = solver.train(report=False)
+    assert np.isfinite(m["loss_u"])
+    shared = NODEWANSolver(SMALL.replace(iterations=5), problem,
+                           work_dir=str(tmp_path))
+    ms = shared.train(report=False)
+    assert m["loss_u"] != ms["loss_u"]  # different estimator, same seed
+
+
+def test_logger_incremental_jsonl(tmp_path):
+    from xnode_wan_tpu.utils.logging import RunLogger
+    logger = RunLogger(3, str(tmp_path), flush_every=4)
+    for k in range(10):
+        logger.log(k, {"loss_u": float(k), "L2": float(k) / 2})
+    jl = os.path.join(str(tmp_path), "metrics_NODE_3.jsonl")
+    # two incremental flushes (after steps 3 and 7) -> 8 records on disk
+    assert sum(1 for _ in open(jl)) == 8
+    # list artifacts only appear at the final full flush
+    assert not os.path.exists(os.path.join(str(tmp_path), "L2_NODE_3.json"))
+    logger.flush()
+    recs = [json.loads(line) for line in open(jl)]
+    assert [r["step"] for r in recs] == list(range(10))
+    assert json.load(open(os.path.join(str(tmp_path),
+                                       "losses_NODE_3.json"))) == \
+        [float(k) for k in range(10)]
+    l2s = json.load(open(os.path.join(str(tmp_path), "L2_NODE_3.json")))
+    assert l2s == [float(k) / 2 for k in range(10)]

@@ -75,6 +75,16 @@ class SolverConfig:
     s1_raw_v: bool = False      # reference-parity temporal term with raw v
                                 # (loss.py:64); default uses phi = v*w, the
                                 # IBP-consistent form (see ops/weak_form.py)
+    independent_uv: bool = False  # reference-parity: draw an INDEPENDENT
+                                # interior cloud for the v side and pair
+                                # u(X) with phi(XV) elementwise (reference
+                                # src/dataset.py:306-310, src/loss.py:51-70);
+                                # default shares one cloud (the consistent
+                                # pointwise weak-form estimator)
+    ensemble: int = 1           # K>1: train K independent seeds in one
+                                # vmapped program, keep/report the best —
+                                # principled multi-start (replaces the
+                                # stall_action="restart" heuristic)
     data_axis: str = "data"     # mesh axis the path batch is sharded over
     tangent_shards: int = 1     # >1: 2-D mesh, forward-mode tangent batch
                                 # sharded over a second axis (d=20-50 runs)
@@ -87,8 +97,11 @@ class SolverConfig:
             object.__setattr__(self, name, float(getattr(self, name)))
         for name in ("u_layers", "u_hidden_dim", "u_hidden_hidden_dim",
                      "v_layers", "v_hidden_dim", "n1", "n2", "min_steps",
-                     "dim", "N_t", "N_r", "N_b", "iterations", "seed"):
+                     "dim", "N_t", "N_r", "N_b", "iterations", "seed",
+                     "ensemble"):
             object.__setattr__(self, name, int(getattr(self, name)))
+        if self.ensemble < 1:
+            raise ValueError("ensemble must be >= 1")
         if isinstance(self.shape_param, list):
             object.__setattr__(self, "shape_param", tuple(self.shape_param))
         if self.u_layers < 1:

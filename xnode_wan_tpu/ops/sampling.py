@@ -471,14 +471,18 @@ class CombLoader:
     ``(datau, datav, bdata)`` group triples with ``requires_grad`` set.
     Here a single static-shape triple of :class:`PathBatch` es is produced
     (JAX needs no leaf-tensor bookkeeping: derivatives are taken
-    functionally), with u and v sharing one interior cloud — see
-    ``ops/weak_form.py`` for why that is the correct weak form.
+    functionally), with u and v sharing one interior cloud by default — see
+    ``ops/weak_form.py`` for why that is the correct weak form. Pass
+    ``independent_uv=True`` for the reference's two independent clouds
+    (``src/dataset.py:306-310``).
     """
 
-    def __init__(self, n_r: int, n_b: int, shape, key: jax.Array):
+    def __init__(self, n_r: int, n_b: int, shape, key: jax.Array,
+                 independent_uv: bool = False):
         k_i, k_b = jax.random.split(key)
         self.interioru = shape.interior(k_i, n_r)
-        self.interiorv = self.interioru
+        self.interiorv = (shape.interior(jax.random.fold_in(key, 7), n_r)
+                          if independent_uv else self.interioru)
         self.boundary = shape.boundary(k_b, n_b)
 
     def __len__(self) -> int:

@@ -21,11 +21,12 @@ Deviations from the reference (all deliberate, flagged in SURVEY.md):
   ``grad_x u`` is computed honestly with ``jax.linearize`` through the scan
   integrator (one nonlinear + d linear passes), and ``(d_t, grad_x) phi``
   with reverse-mode per point — the paper's actual math.
-* **Shared sample points.** For single-group domains the reference draws
-  *independent* u/v interior clouds (``src/dataset.py:308-310``) yet
-  multiplies their pointwise values — an artifact of torch ``.grad``
-  aliasing. u and v are evaluated at the same points here (what the
-  reference itself does for multi-group domains).
+* **Shared sample points** (default). The reference draws *independent*
+  u/v interior clouds (``src/dataset.py:308-310``) yet multiplies their
+  pointwise values — an artifact of torch ``.grad`` aliasing. u and v are
+  evaluated at the same points here by default; set
+  ``independent_uv: true`` to reproduce the reference's exact estimator
+  (u on X, phi on XV, paired elementwise — ``src/loss.py:51-70``).
 * **Global masked quadrature.** Ragged groups each got weight
   ``V/(N_g L_g)`` and a separate optimizer step; here every valid sample
   carries weight ``V/M`` in one estimator (identical for the hypercube,
@@ -253,10 +254,14 @@ def make_losses(problem, domain, cfg: SolverConfig, u_apply: Callable,
         tangent_sharding = NamedSharding(
             mesh, P("tangent", cfg.data_axis, None))
 
-    def int_objective(u_params, v_params, batch):
+    def int_objective(u_params, v_params, batch, vbatch=None):
         u, du = u_with_spatial_grad(u_apply, u_params, batch, problem, cfg,
                                     tangent_sharding=tangent_sharding)
-        v, phi, dphi = v_phi_and_grads(v_apply, v_params, batch.x,
+        # independent_uv: the v side (v, phi, grad phi, func_w) is evaluated
+        # on its own interior cloud XV and paired elementwise with the u
+        # side at X — the reference's exact estimator (src/loss.py:51-70).
+        v_pts = batch.x if vbatch is None else vbatch.x
+        v, phi, dphi = v_phi_and_grads(v_apply, v_params, v_pts,
                                        domain.func_w)
         if cfg.group_loss:
             # per-exit-group channels (reference group semantics)
@@ -279,8 +284,8 @@ def make_losses(problem, domain, cfg: SolverConfig, u_apply: Callable,
 
     bdry_at_exit = bool(getattr(domain, "boundary_at_exit", False))
 
-    def loss_u(u_params, v_params, batch, bbatch):
-        int_loss, u, aux = int_objective(u_params, v_params, batch)
+    def loss_u(u_params, v_params, batch, bbatch, vbatch=None):
+        int_loss, u, aux = int_objective(u_params, v_params, batch, vbatch)
         init = init_loss(u, batch, problem)
         bdry = bdry_loss(u_apply, u_params, bbatch, problem, cfg,
                          at_exit=bdry_at_exit)
@@ -288,8 +293,8 @@ def make_losses(problem, domain, cfg: SolverConfig, u_apply: Callable,
         aux = dict(aux, init=init, bdry=bdry, loss_u=total)
         return total, aux
 
-    def loss_v(v_params, u_params, batch):
-        int_loss, _, aux = int_objective(u_params, v_params, batch)
+    def loss_v(v_params, u_params, batch, vbatch=None):
+        int_loss, _, aux = int_objective(u_params, v_params, batch, vbatch)
         total = -int_loss
         aux = dict(aux, loss_v=total)
         return total, aux

@@ -177,19 +177,25 @@ class NODEWANSolver:
         bbatch = self.domain.boundary(k_b, self.cfg.N_b)
         batch = shard_batch(batch, self.mesh, self.cfg.data_axis)
         bbatch = shard_batch(bbatch, self.mesh, self.cfg.data_axis)
-        return batch, bbatch
+        vbatch = None
+        if self.cfg.independent_uv:
+            # reference-parity independent v-side cloud (src/dataset.py:306-310)
+            vbatch = self.domain.interior(jax.random.fold_in(key, 7),
+                                          self.cfg.N_r)
+            vbatch = shard_batch(vbatch, self.mesh, self.cfg.data_axis)
+        return batch, bbatch, vbatch
 
     def _outer_step(self, state: TrainState):
         """One full outer iteration (reference src/training.py:118-174)."""
         cfg = self.cfg
         key, k_sample, k_eval = jax.random.split(state.key, 3)
-        batch, bbatch = self._sample(k_sample)
+        batch, bbatch, vbatch = self._sample(k_sample)
 
         u_params, opt_u = state.u_params, state.opt_u
         aux_u = None
         for _ in range(cfg.n1):
             (_, aux_u), grads = jax.value_and_grad(self._loss_u, has_aux=True)(
-                u_params, state.v_params, batch, bbatch)
+                u_params, state.v_params, batch, bbatch, vbatch)
             updates, opt_u = self._tx_u.update(grads, opt_u, u_params)
             u_params = optax.apply_updates(u_params, updates)
 
@@ -197,7 +203,7 @@ class NODEWANSolver:
         aux_v = {"loss_v": jnp.zeros(())}
         for _ in range(cfg.n2):
             (_, aux_v), grads = jax.value_and_grad(self._loss_v, has_aux=True)(
-                v_params, u_params, batch)
+                v_params, u_params, batch, vbatch)
             updates, opt_v = self._tx_v.update(grads, opt_v, v_params)
             v_params = optax.apply_updates(v_params, updates)
 
@@ -207,7 +213,7 @@ class NODEWANSolver:
 
         # Fresh-sample error evaluation (reference src/training.py:164-167).
         if self.problem.u_sol is not None:
-            ebatch, _ = self._sample(k_eval)
+            ebatch, _, _ = self._sample(k_eval)
             u_vals = self._u_apply(u_params, ebatch, self.problem, cfg)
             sol = self.problem.u_sol(ebatch.x)
             vol = self.domain.V()

@@ -10,8 +10,11 @@ Keeps the reference's artifact names and schemas (reference
 * ``Time_NODE_<dim>.json``   — wall-clock stamps per iteration,
 
 plus a structured ``metrics_NODE_<dim>.jsonl`` with one JSON object per
-iteration. File writes are batched (``flush_every``) to keep host IO off the
-hot path; content is identical to writing every iteration.
+iteration. Host IO is O(1) per flush: the jsonl gets only the records since
+the previous flush appended; the three JSON list artifacts (whole-history
+snapshots by schema) are rewritten on the final ``flush()`` at stop/end —
+identical contents, without the O(n^2) rewrite-everything-every-25-steps
+cost on the thread that drives the device.
 """
 
 from __future__ import annotations
@@ -31,6 +34,7 @@ class RunLogger:
         self.l2s: List[float] = []
         self.times: List[float] = [time.time()]
         self._records: List[dict] = []
+        self._jsonl_written = 0
         os.makedirs(work_dir, exist_ok=True)
 
     def _path(self, name: str) -> str:
@@ -44,15 +48,25 @@ class RunLogger:
         self._records.append({"step": step, "time": self.times[-1],
                               **{k: float(v) for k, v in metrics.items()}})
         if (step + 1) % self.flush_every == 0:
-            self.flush()
+            self._flush_jsonl()
+
+    def _flush_jsonl(self) -> None:
+        """Append records accumulated since the last flush (O(new))."""
+        new = self._records[self._jsonl_written:]
+        if not new:
+            return
+        mode = "a" if self._jsonl_written else "w"
+        with open(self._path(f"metrics_NODE_{self.dim}.jsonl"), mode) as fh:
+            for rec in new:
+                fh.write(json.dumps(rec) + "\n")
+        self._jsonl_written = len(self._records)
 
     def flush(self) -> None:
+        """Full flush: jsonl tail + the whole-history JSON list artifacts."""
+        self._flush_jsonl()
         with open(self._path(f"losses_NODE_{self.dim}.json"), "w") as fh:
             json.dump(self.losses, fh)
         with open(self._path(f"L2_NODE_{self.dim}.json"), "w") as fh:
             json.dump(self.l2s, fh)
         with open(self._path(f"Time_NODE_{self.dim}.json"), "w") as fh:
             json.dump(self.times, fh)
-        with open(self._path(f"metrics_NODE_{self.dim}.jsonl"), "w") as fh:
-            for rec in self._records:
-                fh.write(json.dumps(rec) + "\n")
