@@ -103,3 +103,39 @@ def test_xavier_init_stats(key):
     w = np.asarray(p["w"])
     assert np.abs(w).max() <= limit + 1e-6
     assert np.allclose(np.asarray(p["b"]), 0.0)
+
+
+def test_evaluate_points_hourglass_entry_seeding(problem):
+    # Ascending-branch hourglass points (t > mid, |x| > r*mid) re-enter the
+    # domain at t_re = |x|/r; honest direct eval must integrate from t_re
+    # with the g-seed (reference src/model.py:92-96) — asserted here
+    # against an explicitly-constructed re-entry path forward.
+    hg = NSphereTHourglass(1.0, 2, 0.0, 1.0, CFG.N_t)
+    params = init_xnode(jax.random.PRNGKey(1), CFG)
+    t_q = jnp.asarray([0.9, 0.8])
+    rho = jnp.asarray([0.7, 0.6])           # > r*mid = 0.5 -> re-entered
+    pts = jnp.stack([t_q, rho, jnp.zeros(2)], axis=-1)
+
+    t_entry, seed_h = hg.entry(pts)
+    np.testing.assert_allclose(np.asarray(t_entry), np.asarray(rho))
+    assert not bool(seed_h.any())
+
+    u_pts = evaluate_points(params, pts, problem, CFG, k_steps=64, domain=hg)
+
+    from xnode_wan_tpu.ops.sampling import PathBatch, _assemble
+    k = 65
+    frac = jnp.linspace(0.0, 1.0, k)
+    times = t_entry[:, None] + frac[None, :] * (t_q - t_entry)[:, None]
+    ref_batch = PathBatch(
+        x=_assemble(times, pts[:, 1:]),
+        mask=jnp.ones((2, k), dtype=bool),
+        t_start=t_entry,
+        seed_from_h=jnp.zeros((2,), dtype=bool),
+    )
+    u_ref = apply_xnode(params, ref_batch, problem, CFG)[:, -1]
+    np.testing.assert_allclose(np.asarray(u_pts), np.asarray(u_ref),
+                               rtol=1e-5, atol=1e-6)
+
+    # and it must DIFFER from the dishonest from-T0 h-seeded integration
+    u_naive = evaluate_points(params, pts, problem, CFG, k_steps=64)
+    assert np.abs(np.asarray(u_pts) - np.asarray(u_naive)).max() > 1e-4

@@ -42,6 +42,7 @@ def apply_wan(params: Dict[str, Any], batch: PathBatch, problem,
 
 
 def evaluate_points(params: Dict[str, Any], pts: jax.Array, problem,
-                    cfg: SolverConfig, k_steps: int | None = None) -> jax.Array:
-    del problem, k_steps
+                    cfg: SolverConfig, k_steps: int | None = None,
+                    domain=None) -> jax.Array:
+    del problem, k_steps, domain  # plain MLP evaluates anywhere directly
     return _mlp(params, pts)

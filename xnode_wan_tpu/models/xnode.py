@@ -88,28 +88,40 @@ def apply_xnode(params: Dict[str, Any], batch: PathBatch, problem,
 
 
 def evaluate_points(params: Dict[str, Any], pts: jax.Array, problem,
-                    cfg: SolverConfig, k_steps: int | None = None) -> jax.Array:
+                    cfg: SolverConfig, k_steps: int | None = None,
+                    domain=None) -> jax.Array:
     """Evaluate u at arbitrary space-time points ``pts [M, C]``.
 
-    Each point becomes a fresh path integrated from ``T0`` with ``k_steps``
-    uniform intervals and the ``h``-seed — the honest version of the
-    reference's direct-point-eval recipe (``README.md:32-35``,
-    ``bound_pad`` + ``fillt`` at ``src/model.py:92-94``). Used by the
-    contour plots and ad-hoc inference.
+    Each point becomes a fresh path of ``k_steps`` uniform intervals,
+    integrated from its *domain-aware origin*: from ``T0`` with the
+    ``h``-seed when the point's constant-x path stays inside, else from
+    its boundary-entry time with the ``g``-seed there — the reference's
+    direct-point-eval recipe (``README.md:32-35``, ``src/model.py:92-96``,
+    ``bound_pad`` at ``src/dataset.py:127-152``). Pass ``domain`` for
+    moving domains (hourglass ascending-branch points need the g-seed);
+    without it the from-``T0`` h-seed is used everywhere (exact for the
+    hypercube and cone). Used by contour plots and ad-hoc inference.
     """
     if k_steps is None:
         k_steps = max(cfg.min_steps, cfg.N_t)
+    if domain is not None and hasattr(domain, "entry"):
+        t_entry, seed_from_h = domain.entry(pts)
+    else:
+        t_entry = jnp.full((pts.shape[0],), cfg.T0, dtype=pts.dtype)
+        seed_from_h = jnp.ones((pts.shape[0],), dtype=bool)
     if (cfg.use_pallas and not cfg.x64
             and jax.default_backend() == "tpu"):
         from xnode_wan_tpu.ops.pallas.xnode_eval import fused_evaluate
         pts0 = pts.at[:, 0].set(cfg.T0)
-        seed = problem.h(pts0)
+        entry_pts = pts.at[:, 0].set(t_entry)
+        seed = jnp.where(seed_from_h, problem.h(pts0),
+                         problem.g(entry_pts))
         return fused_evaluate(params, pts, seed, k_steps * cfg.n_sub,
-                              t0=cfg.T0)
+                              t_start=t_entry)
     m = pts.shape[0]
     t = pts[:, 0]
     frac = jnp.linspace(0.0, 1.0, k_steps + 1, dtype=pts.dtype)
-    times = cfg.T0 + frac[None, :] * (t[:, None] - cfg.T0)   # [M, K+1]
+    times = t_entry[:, None] + frac[None, :] * (t - t_entry)[:, None]
     x_full = jnp.concatenate(
         [times[:, :, None],
          jnp.broadcast_to(pts[:, None, 1:], (m, k_steps + 1, pts.shape[1] - 1))],
@@ -117,7 +129,7 @@ def evaluate_points(params: Dict[str, Any], pts: jax.Array, problem,
     batch = PathBatch(
         x=x_full,
         mask=jnp.ones((m, k_steps + 1), dtype=bool),
-        t_start=jnp.full((m,), cfg.T0, dtype=pts.dtype),
-        seed_from_h=jnp.ones((m,), dtype=bool),
+        t_start=t_entry,
+        seed_from_h=seed_from_h,
     )
     return apply_xnode(params, batch, problem, cfg)[:, -1]

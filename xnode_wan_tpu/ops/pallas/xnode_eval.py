@@ -55,8 +55,8 @@ def _flatten_params_t(params: Dict[str, Any]) -> List[jax.Array]:
     return flat
 
 
-def _kernel(n_lift: int, n_field: int, k_steps: int, t0: float,
-            xt_ref, tt_ref, seed_ref, *refs):
+def _kernel(n_lift: int, n_field: int, k_steps: int,
+            xt_ref, tt_ref, ts_ref, seed_ref, *refs):
     weight_refs, out_ref = refs[:-1], refs[-1]
 
     def dot(w_ref, b_ref, z):
@@ -71,6 +71,7 @@ def _kernel(n_lift: int, n_field: int, k_steps: int, t0: float,
 
     x = xt_ref[:]                       # [d, B]
     t_target = tt_ref[:]                # [1, B]
+    t_start = ts_ref[:]                 # [1, B] per-point path origin
 
     h = dot(*lift[0], seed_ref[:])      # [H, B]
     for w, b in lift[1:]:
@@ -83,10 +84,10 @@ def _kernel(n_lift: int, n_field: int, k_steps: int, t0: float,
             z = dot(*wl, jax.nn.relu(z))
         return dot(*field_layers[-1], jnp.tanh(z))
 
-    dt = (t_target - t0) / k_steps      # [1, B]
+    dt = (t_target - t_start) / k_steps  # [1, B]
 
     def step(k, hh):
-        t = t0 + k * dt
+        t = t_start + k * dt
         k1 = field(t, hh)
         return hh + dt * field(t + 0.5 * dt, hh + 0.5 * dt * k1)
 
@@ -96,25 +97,33 @@ def _kernel(n_lift: int, n_field: int, k_steps: int, t0: float,
 
 def fused_evaluate(params: Dict[str, Any], pts: jax.Array, seed: jax.Array,
                    k_steps: int, t0: float = 0.0,
+                   t_start: jax.Array | None = None,
                    interpret: bool = False) -> jax.Array:
     """Evaluate u at points ``pts [M, C]`` with seeds ``seed [M]``.
 
     ``seed`` is the problem's h/g data at each point's path origin
     (computed outside — problem callables are user code and stay in JAX).
-    Returns ``u [M]``. M is padded internally to a multiple of BLOCK.
+    ``t_start [M]`` is the per-point path origin time (moving domains:
+    boundary-entry time, reference ``src/model.py:92-96``); defaults to a
+    shared ``t0``. Returns ``u [M]``. M is padded internally to a multiple
+    of BLOCK.
     """
     m, c = pts.shape
     h_dim = params["lift"][-1]["w"].shape[-1]
-    block = _pick_block(c + h_dim + 1)
+    block = _pick_block(c + h_dim + 2)
     m_pad = -(-m // block) * block
     ptsT = jnp.pad(pts.astype(jnp.float32).T, ((0, 0), (0, m_pad - m)))
     seedT = jnp.pad(seed.astype(jnp.float32)[None, :], ((0, 0), (0, m_pad - m)))
+    if t_start is None:
+        t_start = jnp.full((m,), t0, dtype=jnp.float32)
+    tsT = jnp.pad(t_start.astype(jnp.float32)[None, :],
+                  ((0, 0), (0, m_pad - m)))
 
     flat = _flatten_params_t(params)
     n_lift = len(params["lift"])
     n_field = len(params["field"])
 
-    kernel = functools.partial(_kernel, n_lift, n_field, k_steps, float(t0))
+    kernel = functools.partial(_kernel, n_lift, n_field, k_steps)
     col = lambda rows: pl.BlockSpec((rows, block), lambda i: (0, i),
                                     memory_space=pltpu.VMEM)
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
@@ -124,8 +133,8 @@ def fused_evaluate(params: Dict[str, Any], pts: jax.Array, seed: jax.Array,
         kernel,
         out_shape=jax.ShapeDtypeStruct((1, m_pad), jnp.float32),
         grid=(m_pad // block,),
-        in_specs=[col(c - 1), col(1), col(1)] + [full(a) for a in flat],
+        in_specs=[col(c - 1), col(1), col(1), col(1)] + [full(a) for a in flat],
         out_specs=col(1),
         interpret=interpret,
-    )(ptsT[1:], ptsT[:1], seedT, *[a.astype(jnp.float32) for a in flat])
+    )(ptsT[1:], ptsT[:1], tsT, seedT, *[a.astype(jnp.float32) for a in flat])
     return out[0, :m]

@@ -196,6 +196,15 @@ class Hypercube:
         dist = jnp.minimum(jnp.abs(self.top - xs), jnp.abs(xs - self.bot))
         return jnp.min(dist, axis=-1)
 
+    def entry(self, pts: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """Per-point path origin for direct evaluation: ``(t_entry [M],
+        seed_from_h [M])``. Time-independent domain: every point's
+        straight-line path back to ``T0`` stays inside -> h-seed from T0
+        (reference ``src/model.py:92-96`` degenerates to this case)."""
+        m = pts.shape[0]
+        return (jnp.full((m,), self.T0, dtype=pts.dtype),
+                jnp.ones((m,), dtype=bool))
+
     def V(self) -> float:
         return (self.top - self.bot) ** self.dim * (self.T - self.T0)
 
@@ -297,6 +306,13 @@ class NSphereTCone:
         """``r(1 - t) - |x|`` (reference ``src/dataset.py:216-218``)."""
         dist = jnp.linalg.norm(x[..., 1:], axis=-1)
         return self.r * (1.0 - x[..., 0]) - dist
+
+    def entry(self, pts: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """Shrinking domain: a point inside at ``t`` was inside at every
+        earlier time -> always the from-``T0`` h-seeded path."""
+        m = pts.shape[0]
+        return (jnp.full((m,), self.T0, dtype=pts.dtype),
+                jnp.ones((m,), dtype=bool))
 
     def V(self) -> float:
         d1 = self.dim + 1
@@ -413,6 +429,24 @@ class NSphereTHourglass:
         """Piecewise ``R(t) - |x|`` (reference ``src/dataset.py:119-125``)."""
         dist = jnp.linalg.norm(x[..., 1:], axis=-1)
         return self.radius_at(x[..., 0]) - dist
+
+    def entry(self, pts: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """Boundary-entry seeding for direct evaluation (reference
+        ``src/model.py:92-96`` + ``bound_pad``, ``src/dataset.py:127-152``).
+
+        An ascending-branch point ``(t > mid, |x| > r*mid)`` was OUTSIDE
+        the domain during ``(span - |x|/r, |x|/r)``: its honest path starts
+        at the re-entry time ``t_re = |x|/r`` with the ``g``-seed there.
+        Everything else (waist points, descending branch) integrates from
+        ``T0`` with the ``h``-seed.
+        """
+        t = pts[:, 0]
+        rho = jnp.linalg.norm(pts[:, 1:], axis=-1)
+        reentered = (t > self.mid) & (rho > self.r * self.mid)
+        t_re = jnp.minimum(rho / self.r, t)  # clamp: on-boundary queries
+        t_entry = jnp.where(reentered, t_re,
+                            jnp.asarray(self.T0, pts.dtype))
+        return t_entry.astype(pts.dtype), ~reentered
 
     def V(self) -> float:
         # ∫ c_d R(t)^d dt over both branches. Matches the reference's

@@ -148,8 +148,8 @@ class NODEWANSolver:
         self._outer_chunk_cache = {}
         self._train_until_cache = {}
         self._predict = jax.jit(
-            lambda u_params, pts: self._u_eval_points(u_params, pts,
-                                                      self.problem, self.cfg))
+            lambda u_params, pts: self._u_eval_points(
+                u_params, pts, self.problem, self.cfg, domain=self.domain))
 
         self.best_l = float("inf")
         self.logger = RunLogger(cfg.dim, work_dir)
@@ -469,7 +469,8 @@ class NODEWANSolver:
             proj(functools.partial(self._predict, self.state.u_params),
                  cfg.dim, step, axes=(0, 1), T=cfg.T, T0=cfg.T0,
                  down=down, up=up, resolution=100, save=True, show=show,
-                 func_u_sol=self.problem.u_sol, work_dir=self.work_dir)
+                 func_u_sol=self.problem.u_sol, work_dir=self.work_dir,
+                 domain=self.domain)
         except Exception as exc:  # plotting must never kill training
             print(f"plotting failed: {exc!r}")
 

@@ -21,11 +21,16 @@ def proj(predict: Callable, dim: int, iteration: int,
          axes: Sequence[int] = (0, 1), T: float = 1.0, T0: float = 0.0,
          down: float = -1.0, up: float = 1.0, resolution: int = 100,
          colours: int = 8, save: bool = False, show: bool = False,
-         func_u_sol: Optional[Callable] = None, work_dir: str = "./") -> None:
+         func_u_sol: Optional[Callable] = None, work_dir: str = "./",
+         domain=None) -> None:
     """Contour the solution guess along two axes.
 
     ``predict``: callable ``[M, C] -> [M]`` evaluating the primal net
     (e.g. a jitted ``evaluate_points`` closure).
+    ``domain``: when given (moving domains), mesh points outside the
+    domain (``func_w <= 0``) are masked to NaN so contours show only
+    the honest region — the reference plotted the full hypercube slice
+    regardless (``utils/auxillary_funcs.py:48-49``).
     """
     assert len(axes) == 2, "exactly two axes can be displayed"
     r = resolution
@@ -42,7 +47,10 @@ def proj(predict: Callable, dim: int, iteration: int,
     xt[:, :, axes[1]] = mesh1
 
     pts = jnp.asarray(xt.reshape(-1, dim + 1))
-    guess = np.asarray(predict(pts)).reshape(r, r)
+    guess = np.asarray(predict(pts)).reshape(r, r).astype(np.float64)
+    if domain is not None and hasattr(domain, "func_w"):
+        inside = np.asarray(jnp.asarray(domain.func_w(pts)) >= 0)
+        guess = np.where(inside.reshape(r, r), guess, np.nan)
 
     import matplotlib
     matplotlib.use("Agg")
