@@ -203,3 +203,35 @@ def test_logger_incremental_jsonl(tmp_path):
         [float(k) for k in range(10)]
     l2s = json.load(open(os.path.join(str(tmp_path), "L2_NODE_3.json")))
     assert l2s == [float(k) / 2 for k in range(10)]
+
+
+def test_ensemble_multistart(problem, tmp_path):
+    # K=3 members advance in one vmapped program; metrics are the best
+    # member's and best_member is tracked for serving paths
+    cfg = SMALL.replace(ensemble=3, iterations=8)
+    solver = NODEWANSolver(cfg, problem, work_dir=str(tmp_path))
+    m = solver.train(report=False)
+    assert np.isfinite(m["loss_u"])
+    assert 0 <= int(m["best_member"]) < 3
+    assert m["rel_err"] <= m["rel_err_worst"] + 1e-12
+    # serving path uses a single member's params (no leading K axis)
+    import jax
+    u = solver._u_params_for_eval()
+    k_leaves = jax.tree.leaves(solver.state.u_params)
+    s_leaves = jax.tree.leaves(u)
+    assert s_leaves[0].ndim == k_leaves[0].ndim - 1
+    # train_until path works too and records best_member
+    hist = solver.train_until(0.9, 6, window=3)
+    assert hist["iterations_run"] <= 6
+
+
+def test_ensemble_on_mesh(problem, tmp_path):
+    # member axis sharded over the 8-device CPU mesh
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = SMALL.replace(ensemble=8, iterations=3, N_r=32, N_b=32)
+    solver = NODEWANSolver(cfg, problem, work_dir=str(tmp_path))
+    assert solver.mesh is not None
+    m = solver.train(report=False)
+    assert np.isfinite(m["loss_u"])

@@ -107,6 +107,15 @@ class NODEWANSolver:
                 else:
                     self.mesh = make_mesh(devs, cfg.data_axis)
         n_shards = self.mesh.size if self.mesh is not None else 1
+        if cfg.ensemble > 1:
+            if self.mesh is not None and cfg.ensemble % n_shards:
+                if mesh is not None:  # user-supplied: don't silently drop
+                    raise ValueError(
+                        f"ensemble={cfg.ensemble} must divide evenly over "
+                        f"the {n_shards}-device mesh (member axis is the "
+                        f"sharded one)")
+                self.mesh = None  # auto mesh unusable for this K: run local
+            n_shards = 1  # path axes stay unsharded under ensemble vmap
         # Shard-divisible Monte-Carlo batch sizes.
         cfg = cfg.replace(N_r=round_up(cfg.N_r, n_shards),
                           N_b=round_up(cfg.N_b, n_shards))
@@ -139,12 +148,13 @@ class NODEWANSolver:
         self._tx_u = tx(cfg.u_rate)
         self._tx_v = tx(cfg.v_rate)
         self._init_fn = init_fn
+        self._best_member = 0
         self._reinit_state(jax.random.PRNGKey(cfg.seed))
 
         self._loss_u, self._loss_v = make_losses(
             problem, self.domain, cfg, self._u_apply, v_apply,
             mesh=self.mesh)
-        self._outer = jax.jit(self._outer_step, donate_argnums=0)
+        self._outer = self._build_outer()
         self._outer_chunk_cache = {}
         self._train_until_cache = {}
         self._predict = jax.jit(
@@ -156,33 +166,95 @@ class NODEWANSolver:
 
     def _reinit_state(self, key: jax.Array) -> None:
         """Fresh parameters + optimizer states from ``key`` (construction
-        and multi-start restarts)."""
+        and multi-start restarts). ``ensemble: K > 1`` stacks K independent
+        member states along a leading axis (principled multi-start: all
+        seeds train simultaneously in one vmapped program)."""
         from xnode_wan_tpu.models.discriminator import init_discriminator
         cfg = self.cfg
-        key, ku, kv = jax.random.split(key, 3)
-        u_params = self._init_fn(ku, cfg)
-        v_params = init_discriminator(kv, cfg.dim, cfg.v_hidden_dim,
-                                      cfg.v_layers, cfg.tied_v)
-        self.state = TrainState(
-            u_params=u_params, v_params=v_params,
-            opt_u=self._tx_u.init(u_params),
-            opt_v=self._tx_v.init(v_params),
-            key=key, step=jnp.zeros((), jnp.int32),
-        )
+
+        def one(key):
+            key, ku, kv = jax.random.split(key, 3)
+            u_params = self._init_fn(ku, cfg)
+            v_params = init_discriminator(kv, cfg.dim, cfg.v_hidden_dim,
+                                          cfg.v_layers, cfg.tied_v)
+            return TrainState(
+                u_params=u_params, v_params=v_params,
+                opt_u=self._tx_u.init(u_params),
+                opt_v=self._tx_v.init(v_params),
+                key=key, step=jnp.zeros((), jnp.int32),
+            )
+
+        if cfg.ensemble > 1:
+            self.state = jax.vmap(one)(jax.random.split(key, cfg.ensemble))
+        else:
+            self.state = one(key)
+        self._best_member = 0
 
     # ------------------------------------------------------------------
+    def _build_outer(self):
+        """The dispatchable one-iteration program.
+
+        ``ensemble == 1``: jitted :meth:`_outer_step`. ``ensemble = K > 1``:
+        K member states advance in one ``vmap``ped program (K independent
+        Monte-Carlo streams, K param sets — fills the idle MXU these tiny
+        nets leave) and the returned metrics are the best member's, plus
+        ``best_member``/``rel_err_worst`` for observability.
+        """
+        if self.cfg.ensemble == 1:
+            return jax.jit(self._outer_step, donate_argnums=0)
+        return jax.jit(self._step_fn_ensemble, donate_argnums=0)
+
+    def _step_fn(self, state):
+        """One outer iteration -> (state, scalar metrics); ensemble-aware."""
+        if self.cfg.ensemble == 1:
+            return self._outer_step(state)
+        return self._step_fn_ensemble(state)
+
+    def _step_fn_ensemble(self, states):
+        states = self._shard_members(states)
+        states, m = jax.vmap(self._outer_step)(states)
+        states = self._shard_members(states)
+        crit = m.get("rel_err", m["loss_u"])
+        best = jnp.argmin(crit)
+        scalar = {k: v[best] for k, v in m.items()}
+        scalar["best_member"] = best.astype(jnp.float32)
+        if "rel_err" in m:
+            scalar["rel_err_worst"] = jnp.max(m["rel_err"])
+        return states, scalar
+
+    def _shard_members(self, states):
+        """Ensemble data parallelism: member axis over the mesh data axis
+        (each seed trains on its own chips — embarrassingly parallel)."""
+        if self.mesh is None:
+            return states
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        s = NamedSharding(self.mesh, P(self.cfg.data_axis))
+        return jax.tree.map(
+            lambda a: jax.lax.with_sharding_constraint(a, s), states)
+
+    def _u_params_for_eval(self):
+        """Primal params of the (currently best) member for serving paths."""
+        if self.cfg.ensemble > 1:
+            return jax.tree.map(lambda a: a[self._best_member],
+                                self.state.u_params)
+        return self.state.u_params
+
     def _sample(self, key):
+        # Under ensemble vmap the member axis (not the path axis) is the
+        # mesh-sharded one — constraints go on the stacked state instead
+        # (see _step_fn_ensemble).
+        mesh = None if self.cfg.ensemble > 1 else self.mesh
         k_i, k_b = jax.random.split(key)
         batch = self.domain.interior(k_i, self.cfg.N_r)
         bbatch = self.domain.boundary(k_b, self.cfg.N_b)
-        batch = shard_batch(batch, self.mesh, self.cfg.data_axis)
-        bbatch = shard_batch(bbatch, self.mesh, self.cfg.data_axis)
+        batch = shard_batch(batch, mesh, self.cfg.data_axis)
+        bbatch = shard_batch(bbatch, mesh, self.cfg.data_axis)
         vbatch = None
         if self.cfg.independent_uv:
             # reference-parity independent v-side cloud (src/dataset.py:306-310)
             vbatch = self.domain.interior(jax.random.fold_in(key, 7),
                                           self.cfg.N_r)
-            vbatch = shard_batch(vbatch, self.mesh, self.cfg.data_axis)
+            vbatch = shard_batch(vbatch, mesh, self.cfg.data_axis)
         return batch, bbatch, vbatch
 
     def _outer_step(self, state: TrainState):
@@ -235,7 +307,7 @@ class NODEWANSolver:
         """
         if chunk not in self._outer_chunk_cache:
             def body(state, _):
-                return self._outer_step(state)
+                return self._step_fn(state)
 
             @functools.partial(jax.jit, donate_argnums=0)
             def run(state):
@@ -257,6 +329,8 @@ class NODEWANSolver:
             done += chunk
             for i in range(chunk):
                 m = {k: float(v[i]) for k, v in ms.items()}
+                if "best_member" in m:
+                    self._best_member = int(m["best_member"])
                 if log:
                     self.logger.log(done - chunk + i, m)
                 last = m
@@ -314,6 +388,8 @@ class NODEWANSolver:
             done += k
             if k == 0:
                 break
+            if self.cfg.ensemble > 1:
+                self._best_member = int(h["best_member"][k - 1])
             # full window overran the per-program budget: halve it
             if (k == window and window > 8
                     and time.time() - t0 > window_target_s):
@@ -326,7 +402,9 @@ class NODEWANSolver:
             # multi-start reroll — empirically required, since a stuck
             # primal re-teaches a fresh adversary the same cycle.
             window_min = float(h["rel_err"][:k].min())
-            stalled = k == window and window_min > best_rel * 0.99
+            stalled = (k == window and window_min > best_rel * 0.99
+                       and self.cfg.ensemble == 1)  # ensemble IS the
+            # principled multi-start; per-member heuristics don't apply
             if stalled and stall_action == "reinit_v":
                 from xnode_wan_tpu.models.discriminator import \
                     init_discriminator
@@ -359,6 +437,8 @@ class NODEWANSolver:
                 "L2": jnp.full((window,), jnp.nan),
                 "rel_err": jnp.full((window,), jnp.nan),
             }
+            if self.cfg.ensemble > 1:
+                hist["best_member"] = jnp.full((window,), jnp.nan)
 
             def cond(carry):
                 _, k, rel, _ = carry
@@ -366,7 +446,7 @@ class NODEWANSolver:
 
             def body(carry):
                 state, k, _, hist = carry
-                state, m = self._outer_step(state)
+                state, m = self._step_fn(state)
                 hist = {name: buf.at[k].set(m[name])
                         for name, buf in hist.items()}
                 return state, k + 1, m["rel_err"], hist
@@ -388,7 +468,7 @@ class NODEWANSolver:
 
     def _save_best(self):
         ckpt.save(os.path.join(self.work_dir, "best_model_weights_NODE.msgpack"),
-                  self.state.u_params)
+                  self._u_params_for_eval())
 
     def save_checkpoint(self, path: Optional[str] = None):
         path = path or os.path.join(self.work_dir, "checkpoint_NODE.msgpack")
@@ -418,6 +498,8 @@ class NODEWANSolver:
             nonlocal last
             m = {k: float(v) for k, v in jax.device_get(dev_metrics).items()}
             last = m
+            if "best_member" in m:
+                self._best_member = int(m["best_member"])
             self.logger.log(step, m)
             if m.get("loss_u", float("inf")) < self.best_l:
                 self.best_l = m["loss_u"]
@@ -466,7 +548,7 @@ class NODEWANSolver:
         sp = cfg.shape_param
         down, up = (sp if isinstance(sp, (tuple, list)) else (-sp, sp))
         try:
-            proj(functools.partial(self._predict, self.state.u_params),
+            proj(functools.partial(self._predict, self._u_params_for_eval()),
                  cfg.dim, step, axes=(0, 1), T=cfg.T, T0=cfg.T0,
                  down=down, up=up, resolution=100, save=True, show=show,
                  func_u_sol=self.problem.u_sol, work_dir=self.work_dir,
