@@ -6,18 +6,22 @@ on the default JAX backend (the real TPU chip under the driver) until the
 reference's own convergence criterion fires (relative L2 < 0.01, reference
 ``configs/Ex4_1_funcs.py:36-37``).
 
-``vs_baseline``: the PyTorch reference cannot run here (torchdiffeq is not
-installed), so the baseline is a workload-matched torch-CPU shim of one
-reference outer iteration — same tensor sizes, float64, the same
-3 loss evaluations (n1=2 primal + n2=1 adversarial), each with a 25-step
-midpoint ODE forward, the reference's O(d^2) coefficient loop, its two
-input-gradient backward passes plus the optimizer backward
-(``src/training.py:125-162``, ``src/loss.py:46-76``) — timed for a few
-iterations and scaled to the same iteration count this run needed.
+``vs_baseline``: **measured** — the actual PyTorch reference solver
+(``/root/reference/src/training.py::NODE_WAN_solver`` run verbatim via
+``benchmarks/run_reference.py`` with a vendored fixed-grid midpoint odeint
+standing in for torchdiffeq) was run to the same <1% criterion on the same
+problem/config on this machine's CPU; its wall-clock is read from
+``benchmarks/reference_d5_nr4000.json``. If that file is missing, a
+workload-matched torch-CPU shim of one reference outer iteration is timed
+and scaled (clearly labelled ``baseline_source: "shim-estimate"``).
+
+``BENCH_PRIMAL=wan`` switches the primal net to the paper's vanilla-WAN
+baseline (plain MLP) for the XNODE-vs-WAN comparison (reference
+``README.md:6-8``).
 
 Prints ONE JSON line:
   {"metric": ..., "value": <wall-clock s to 1% rel-L2, excl. compile>,
-   "unit": "s", "vs_baseline": <estimated reference wall / ours>, ...}
+   "unit": "s", "vs_baseline": <measured reference wall / ours>, ...}
 """
 
 import json
@@ -125,6 +129,9 @@ def main():
     here = os.path.dirname(os.path.abspath(__file__))
     cfg = load_params(os.path.join(here, "configs", "cube_pde.yaml"))
     cfg = cfg.replace(iterations=MAX_ITERS)
+    primal = os.environ.get("BENCH_PRIMAL", "xnode")
+    if primal != "xnode":
+        cfg = cfg.replace(primal=primal)
     problem = load_problem("Ex4_1_funcs", dim=cfg.dim)
     solver = NODEWANSolver(cfg, problem, work_dir="/tmp/bench_run")
 
@@ -174,13 +181,35 @@ def main():
                    "iterations": iters, "wall_s": wall,
                    "device": str(jax.devices()[0])}, fh)
 
+    # Baseline: measured run of the actual reference solver (preferred),
+    # produced by benchmarks/run_reference.py on this machine.
+    baseline_s = None
+    baseline_source = None
+    baseline_extra = {}
+    ref_json = os.path.join(here, "benchmarks", "reference_d5_nr4000.json")
     try:
-        torch_iter_s = measure_torch_reference_iter()
-        print(f"[bench] torch shim {torch_iter_s:.1f}s/iter", file=sys.stderr)
-    except Exception as exc:  # torch missing/broken: report without baseline
-        print(f"torch shim failed: {exc!r}", file=sys.stderr)
-        torch_iter_s = None
-    baseline_s = torch_iter_s * iters if torch_iter_s else None
+        with open(ref_json) as fh:
+            ref = json.load(fh)
+        if ref.get("converged"):
+            baseline_s = float(ref["wall_clock_s"])
+            baseline_source = ("measured: reference torch-CPU solver "
+                               f"({ref['threads']} thread), vendored "
+                               "fixed-grid midpoint odeint")
+            baseline_extra = {
+                "baseline_iterations": ref["outer_iterations"],
+                "baseline_rel_l2": round(ref["best_rel_l2"], 5),
+            }
+    except (OSError, KeyError, ValueError) as exc:
+        print(f"[bench] no measured baseline ({exc!r})", file=sys.stderr)
+    if baseline_s is None:
+        try:
+            torch_iter_s = measure_torch_reference_iter()
+            print(f"[bench] torch shim {torch_iter_s:.1f}s/iter",
+                  file=sys.stderr)
+            baseline_s = torch_iter_s * iters
+            baseline_source = "shim-estimate"
+        except Exception as exc:  # torch missing/broken: no baseline
+            print(f"torch shim failed: {exc!r}", file=sys.stderr)
 
     result = {
         "metric": "wall_clock_to_1pct_relL2_d5_cube",
@@ -188,14 +217,16 @@ def main():
         "unit": "s",
         "vs_baseline": round(baseline_s / wall, 2) if baseline_s else None,
         "converged": bool(converged),
+        "primal": cfg.primal,
         "iterations": iters,
         "rel_err": round(float(last.get("rel_err", float("nan"))), 5),
         "wall_s_all_repeats": [round(w, 2) for w in walls],
         "outer_iters_per_s": round(steps_per_s, 3),
         "train_steps_per_s": round(steps_per_s * (cfg.n1 + cfg.n2), 3),
         "compile_s": round(compile_s, 1),
-        "baseline_estimate_s": round(baseline_s, 1) if baseline_s else None,
-        "baseline_iter_s": round(torch_iter_s, 3) if torch_iter_s else None,
+        "baseline_s": round(baseline_s, 1) if baseline_s else None,
+        "baseline_source": baseline_source,
+        **baseline_extra,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

@@ -1,0 +1,105 @@
+"""Guess-vs-reference convergence-trajectory comparison (the BASELINE.json
+"trajectories must match the JCP-paper reference runs to tolerance" check).
+
+Reads
+  * ``benchmarks/convergence_d5.json``  — our per-iteration rel-L2
+    (written by ``bench.py``),
+  * ``benchmarks/reference_d5_nr4000.json`` / ``_nr400.json`` — the measured
+    reference runs (written by ``run_reference.py``; trajectory entries are
+    per stop-check = n1 per outer iteration),
+
+and writes ``benchmarks/trajectory_comparison.json`` (+ ``.png``): both
+rel-L2 trajectories against outer iteration and against wall-clock, plus
+summary milestones (iterations/seconds to 10% / 5% / 2% / 1%).
+"""
+
+import json
+import os
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+MILESTONES = (0.10, 0.05, 0.02, 0.01)
+
+
+def _first_below(values, thresholds):
+    """Index of the first value below each threshold (None if never)."""
+    out = {}
+    v = np.asarray(values, dtype=float)
+    for thr in thresholds:
+        idx = np.nonzero(v < thr)[0]
+        out[f"{thr:g}"] = int(idx[0]) if idx.size else None
+    return out
+
+
+def load_ours():
+    with open(os.path.join(HERE, "convergence_d5.json")) as fh:
+        d = json.load(fh)
+    rel = d["trajectory"]["rel_err"]
+    # bench.py records total wall for the run; spread uniformly per iter
+    # (the run is one fused device program — per-iter timing is uniform)
+    per_iter = d["wall_s"] / max(len(rel), 1)
+    times = [per_iter * (k + 1) for k in range(len(rel))]
+    return {"rel_l2": rel, "seconds": times, "wall_s": d["wall_s"],
+            "iterations": d["iterations"], "device": d.get("device")}
+
+
+def load_reference(name):
+    path = os.path.join(HERE, name)
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        d = json.load(fh)
+    traj = d["trajectory_time_rel_l2"]
+    # n1=2 stop-checks per outer iteration: keep the last check per iter
+    per_iter = traj[1::2] if len(traj) > 1 else traj
+    return {"rel_l2": [r for _, r in per_iter],
+            "seconds": [t for t, _ in per_iter],
+            "wall_s": d["wall_clock_s"],
+            "iterations": d["outer_iterations"],
+            "n_r": d["n_r"], "backend": d["backend"]}
+
+
+def main():
+    ours = load_ours()
+    out = {"ours": {**ours,
+                    "iters_to": _first_below(ours["rel_l2"], MILESTONES)}}
+    for name, key in (("reference_d5_nr4000.json", "reference_nr4000"),
+                      ("reference_d5_nr400.json", "reference_nr400")):
+        ref = load_reference(name)
+        if ref is not None:
+            ref["iters_to"] = _first_below(ref["rel_l2"], MILESTONES)
+            out[key] = ref
+
+    with open(os.path.join(HERE, "trajectory_comparison.json"), "w") as fh:
+        json.dump(out, fh, indent=1)
+
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(11, 4))
+        for label, d in out.items():
+            ax1.semilogy(range(len(d["rel_l2"])), d["rel_l2"], label=label)
+            ax2.semilogy(d["seconds"], d["rel_l2"], label=label)
+        for ax, xl in ((ax1, "outer iteration"), (ax2, "wall-clock [s]")):
+            ax.axhline(0.01, color="k", ls=":", lw=0.8)
+            ax.set_xlabel(xl)
+            ax.set_ylabel("relative L2 error")
+            ax.legend()
+        ax2.set_xscale("log")
+        fig.suptitle("d=5 cube PDE: XNODE-WAN TPU rebuild vs measured "
+                     "PyTorch reference")
+        fig.tight_layout()
+        fig.savefig(os.path.join(HERE, "trajectory_comparison.png"), dpi=120)
+    except Exception as exc:  # plotting is best-effort
+        print(f"plot skipped: {exc!r}")
+
+    brief = {k: {"iterations": v["iterations"],
+                 "wall_s": round(v["wall_s"], 1),
+                 "iters_to": v["iters_to"]} for k, v in out.items()}
+    print(json.dumps(brief, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -139,3 +139,30 @@ def test_evaluate_points_hourglass_entry_seeding(problem):
     # and it must DIFFER from the dishonest from-T0 h-seeded integration
     u_naive = evaluate_points(params, pts, problem, CFG, k_steps=64)
     assert np.abs(np.asarray(u_pts) - np.asarray(u_naive)).max() > 1e-4
+
+
+def test_fourier_features_field_input(problem, key):
+    # K Fourier frequencies widen the field input by 2*K*d; the forward
+    # still runs and differs from the raw-coordinate model
+    cfg_f = CFG.replace(fourier_features=2)
+    params = init_xnode(jax.random.PRNGKey(1), cfg_f)
+    d = CFG.dim
+    assert params["field"][0]["w"].shape[0] == \
+        CFG.u_hidden_dim + 1 + d * (1 + 2 * 2)
+    cube = Hypercube((-1.0, 1.0), 2, 0.0, 1.0, CFG.N_t)
+    batch = cube.interior(key, 8)
+    u = apply_xnode(params, batch, problem, cfg_f)
+    assert u.shape == (8, CFG.N_t)
+    assert np.isfinite(np.asarray(u)).all()
+
+    from xnode_wan_tpu.models.xnode import spatial_features
+    x = jnp.asarray([[0.5, -0.25]])
+    f = spatial_features(x, 1)
+    assert f.shape == (1, 6)
+    np.testing.assert_allclose(np.asarray(f[0, :2]), [0.5, -0.25])
+    # per-dim [sin, cos] blocks: [x1, x2, sin(px1), cos(px1), sin(px2), cos(px2)]
+    p = np.pi / 2
+    np.testing.assert_allclose(
+        np.asarray(f[0, 2:]),
+        [np.sin(p * 0.5), np.cos(p * 0.5),
+         np.sin(p * -0.25), np.cos(p * -0.25)], rtol=1e-5, atol=1e-7)

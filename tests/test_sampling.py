@@ -173,11 +173,32 @@ def test_hourglass_boundary(hourglass, key):
 def test_hourglass_boundary_paths(hourglass, key):
     b = hourglass.boundary(key, 128)
     assert b.x.shape == (128, hourglass.N_t, 3)
-    # final sample on the (descending-branch) boundary
+    # final sample lies on the boundary at its OWN sampled time (honest
+    # late-time supervision): func_w = 0 there
     w_last = np.asarray(hourglass.func_w(b.x[:, -1, :]))
     assert np.allclose(w_last, 0.0, atol=1e-5)
-    # exit times never exceed the waist
+    # descending-branch points: h-seeded from T0; ascending-branch points:
+    # g-seeded at their re-entry anchor |x|/r = t (zero-width path)
+    t_last = np.asarray(b.times[:, -1])
+    asc = t_last > hourglass.mid + 1e-9
+    seed = np.asarray(b.seed_from_h)
+    ts = np.asarray(b.t_start)
+    assert (~seed[asc]).all() and seed[~asc].all()
+    assert np.allclose(ts[~asc], 0.0)
+    rho = np.linalg.norm(np.asarray(b.space[:, 0, :]), axis=-1)
+    assert np.allclose(ts[asc], rho[asc] / hourglass.r, atol=1e-6)
+    # ascending times exist past the waist now (round-1 capped them)
+    assert asc.any() and (t_last[asc] > hourglass.mid).all()
+
+
+def test_hourglass_boundary_waist_cap_ablation(hourglass, key):
+    import dataclasses
+    capped = dataclasses.replace(hourglass, waist_cap=True)
+    b = capped.boundary(key, 128)
+    # round-1 behavior: every supervised time is at or before the waist
     assert (np.asarray(b.times[:, -1]) <= hourglass.mid + 1e-6).all()
+    w_last = np.asarray(hourglass.func_w(b.x[:, -1, :]))
+    assert np.allclose(w_last, 0.0, atol=1e-5)
 
 
 def test_make_domain_registry():

@@ -68,6 +68,10 @@ class SolverConfig:
     boundary_paths: bool = True  # moving domains: boundary-anchored paths
                                 # supervised at the exit point (False =
                                 # reference-parity single-time points)
+    waist_cap: bool = False     # hourglass ablation: supervise ascending-
+                                # branch boundary points at their earlier
+                                # descending-branch exit (round-1 behavior)
+                                # instead of the true late-time location
     group_loss: bool = True     # one log-ratio channel per exit-time path
                                 # group (reference src/training.py:128-137);
                                 # identical to the pooled estimator on the
@@ -88,6 +92,11 @@ class SolverConfig:
     data_axis: str = "data"     # mesh axis the path batch is sharded over
     tangent_shards: int = 1     # >1: 2-D mesh, forward-mode tangent batch
                                 # sharded over a second axis (d=20-50 runs)
+    fourier_features: int = 0   # K>0: append sin/cos(k*pi/2*x), k=1..K to
+                                # the ODE-field input — spectral features
+                                # for high-d oscillatory targets (the d=20
+                                # product-of-sines stress); 0 = reference
+                                # parity (raw coordinates only)
     p: float = 2.0              # L^p norm for error reporting
 
     def __post_init__(self):

@@ -32,10 +32,30 @@ from xnode_wan_tpu.ops.integrate import integrate
 from xnode_wan_tpu.ops.sampling import PathBatch
 
 
+def _feature_dim(cfg: SolverConfig) -> int:
+    """ODE-field spatial-input width: d raw coords + optional Fourier bank."""
+    return cfg.dim * (1 + 2 * cfg.fourier_features)
+
+
+def spatial_features(x: jax.Array, n_freq: int) -> jax.Array:
+    """``[..., d] -> [..., d(1+2K)]``: raw coords plus ``sin/cos(k pi/2 x)``.
+
+    Base frequency ``pi/2`` matches the shipped problems' spectra
+    (reference ``configs/Ex4_3_funcs.py:6-10`` product of
+    ``sin(pi/2 x + phase)``); higher harmonics at integer multiples.
+    """
+    if n_freq == 0:
+        return x
+    k = jnp.arange(1, n_freq + 1, dtype=x.dtype) * (jnp.pi / 2)
+    phases = x[..., None] * k                       # [..., d, K]
+    feats = jnp.concatenate([jnp.sin(phases), jnp.cos(phases)], axis=-1)
+    return jnp.concatenate([x, feats.reshape(*x.shape[:-1], -1)], axis=-1)
+
+
 def init_xnode(key: jax.Array, cfg: SolverConfig) -> Dict[str, Any]:
     k_lift, k_field, k_out = jax.random.split(key, 3)
-    h, hh, d = cfg.u_hidden_dim, cfg.u_hidden_hidden_dim, cfg.dim
-    field_dims = [h + d + 1] + [hh] * cfg.u_layers + [h]
+    h, hh = cfg.u_hidden_dim, cfg.u_hidden_hidden_dim
+    field_dims = [h + _feature_dim(cfg) + 1] + [hh] * cfg.u_layers + [h]
     return {
         "lift": mlp_init(k_lift, [1, h, h, h]),
         "field": mlp_init(k_field, field_dims),
@@ -79,8 +99,12 @@ def apply_xnode(params: Dict[str, Any], batch: PathBatch, problem,
     seed = jnp.where(batch.seed_from_h, seed_h, seed_g)[:, None]
     h0 = lift_apply(params, seed)
 
+    # x is frozen along each path, so the (optional) Fourier bank is
+    # computed once per path, not per ODE step.
+    xs_f = spatial_features(xs, cfg.fourier_features)
+
     def field(t, h):
-        return field_apply(params, xs, t, h)
+        return field_apply(params, xs_f, t, h)
 
     hs = integrate(field, h0, batch.times, batch.t_start, batch.mask,
                    n_sub=cfg.n_sub, method=cfg.solver, remat=cfg.adjoint)
@@ -109,7 +133,7 @@ def evaluate_points(params: Dict[str, Any], pts: jax.Array, problem,
     else:
         t_entry = jnp.full((pts.shape[0],), cfg.T0, dtype=pts.dtype)
         seed_from_h = jnp.ones((pts.shape[0],), dtype=bool)
-    if (cfg.use_pallas and not cfg.x64
+    if (cfg.use_pallas and not cfg.x64 and cfg.fourier_features == 0
             and jax.default_backend() == "tpu"):
         from xnode_wan_tpu.ops.pallas.xnode_eval import fused_evaluate
         pts0 = pts.at[:, 0].set(cfg.T0)

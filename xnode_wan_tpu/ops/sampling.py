@@ -340,6 +340,9 @@ class NSphereTHourglass:
     T: float
     N_t: int
     path_boundary: bool = True
+    waist_cap: bool = False  # ablation: map ascending-branch boundary
+    # points to their descending-branch exit time instead of supervising
+    # g at the true late-time location via a re-entry path (see boundary())
 
     @property
     def r(self) -> float:
@@ -411,18 +414,35 @@ class NSphereTHourglass:
                 t_start=t,
                 seed_from_h=jnp.zeros((n_b,), dtype=bool),
             )
-        # A boundary point at radius rho is hit from inside at
-        # t_hit = min(t_b, span - t_b): ascending-branch samples share
-        # their spatial point with a descending-branch exit (|x| = r t_b
-        # = R(span - t_b)), so the from-T0 path reaches the boundary there.
-        t_hit = jnp.minimum(t, span - t)
+        if self.waist_cap:
+            # Ablation (round-1 behavior): ascending-branch samples share
+            # their spatial point with a descending-branch exit (|x| = r t_b
+            # = R(span - t_b)) — supervise g at that earlier hit instead of
+            # the true late-time location.
+            t_hit = jnp.minimum(t, span - t)
+            frac = jnp.linspace(0.0, 1.0, self.N_t, dtype=_fdtype())
+            times = self.T0 + frac[None, :] * (t_hit[:, None] - self.T0)
+            return PathBatch(
+                x=_assemble(times, x),
+                mask=jnp.ones((n_b, self.N_t), dtype=bool),
+                t_start=jnp.full((n_b,), self.T0, dtype=_fdtype()),
+                seed_from_h=jnp.ones((n_b,), dtype=bool),
+            )
+        # Honest supervision at the sampled (t, x) itself. Descending-branch
+        # points were inside for all earlier times -> from-T0 h-seeded path.
+        # Ascending-branch points (t > mid, so |x| = r t > r*mid) were
+        # OUTSIDE during (span - |x|/r, |x|/r) -> anchor the path at the
+        # re-entry time |x|/r with the g-seed (same recipe as entry()).
+        ascending = t > self.mid
+        t_anchor = jnp.where(ascending, jnp.linalg.norm(x, axis=-1) / self.r,
+                             jnp.full_like(t, self.T0))
         frac = jnp.linspace(0.0, 1.0, self.N_t, dtype=_fdtype())
-        times = self.T0 + frac[None, :] * (t_hit[:, None] - self.T0)
+        times = t_anchor[:, None] + frac[None, :] * (t - t_anchor)[:, None]
         return PathBatch(
             x=_assemble(times, x),
             mask=jnp.ones((n_b, self.N_t), dtype=bool),
-            t_start=jnp.full((n_b,), self.T0, dtype=_fdtype()),
-            seed_from_h=jnp.ones((n_b,), dtype=bool),
+            t_start=t_anchor,
+            seed_from_h=~ascending,
         )
 
     def func_w(self, x: jax.Array) -> jax.Array:
@@ -529,7 +549,8 @@ class CombLoader:
 
 
 def make_domain(name: str, shape_param, dim: int, T0: float, T: float,
-                N_t: int, path_boundary: bool = True):
+                N_t: int, path_boundary: bool = True,
+                waist_cap: bool = False):
     """Registry-based domain construction (replaces the reference's
     ``eval(params['domain'])``, ``src/training.py:84``)."""
     try:
@@ -542,5 +563,8 @@ def make_domain(name: str, shape_param, dim: int, T0: float, T: float,
         return cls(tuple(shape_param), dim, float(T0), float(T), int(N_t))
     if isinstance(shape_param, (tuple, list)):
         shape_param = float(shape_param[-1])
+    if cls is NSphereTHourglass:
+        return cls(shape_param, dim, float(T0), float(T), int(N_t),
+                   path_boundary=path_boundary, waist_cap=waist_cap)
     return cls(shape_param, dim, float(T0), float(T), int(N_t),
                path_boundary=path_boundary)

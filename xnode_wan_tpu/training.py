@@ -123,7 +123,8 @@ class NODEWANSolver:
 
         self.domain = make_domain(cfg.domain, cfg.shape_param, cfg.dim,
                                   cfg.T0, cfg.T, cfg.N_t,
-                                  path_boundary=cfg.boundary_paths)
+                                  path_boundary=cfg.boundary_paths,
+                                  waist_cap=cfg.waist_cap)
 
         init_fn, self._u_apply, self._u_eval_points = PRIMAL_MODELS[cfg.primal]
 
