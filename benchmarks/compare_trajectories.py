@@ -51,8 +51,12 @@ def load_reference(name):
     with open(path) as fh:
         d = json.load(fh)
     traj = d["trajectory_time_rel_l2"]
-    # n1=2 stop-checks per outer iteration: keep the last check per iter
-    per_iter = traj[1::2] if len(traj) > 1 else traj
+    # n1=2 stop-checks per outer iteration: per-iteration best (the run
+    # stops the moment ANY check crosses, so the min is the honest value)
+    per_iter = [(max(t1, t2), min(r1, r2)) for (t1, r1), (t2, r2)
+                in zip(traj[0::2], traj[1::2])]
+    if len(traj) % 2:
+        per_iter.append(traj[-1])
     return {"rel_l2": [r for _, r in per_iter],
             "seconds": [t for t, _ in per_iter],
             "wall_s": d["wall_clock_s"],
