@@ -25,15 +25,32 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPEATS = int(os.environ.get("PROFILE_REPEATS", 20))
 
 
-def timed(fn, *args, repeats=REPEATS):
+def _force(out):
+    """Materialize a value that depends on the whole computation.
+
+    NB: under the axon relay ``jax.block_until_ready`` returns before
+    device execution completes (it waits on the handle, not the work) —
+    timings taken with it are pure dispatch latency (~0.3-0.7 ms) however
+    large the program. ``device_get`` of real leaves is the only honest
+    barrier here. Verified: 111 chained outer steps give 21 ms/iter under
+    device_get vs a fake 0.34 ms/iter under block_until_ready.
+    """
     import jax
+    import jax.numpy as jnp
+    leaves = jax.tree.leaves(out)
+    # scalar-reduce on device, transfer 4 bytes — don't pollute the timing
+    # with megabyte result downloads
+    jax.device_get(jnp.sum(leaves[-1]) + jnp.sum(leaves[0]))
+
+
+def timed(fn, *args, repeats=REPEATS):
     out = fn(*args)          # compile
-    jax.block_until_ready(out)
+    _force(out)
     ts = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out)
+        _force(out)
         ts.append(time.perf_counter() - t0)
     ts.sort()
     return ts[len(ts) // 2], out
@@ -79,6 +96,12 @@ def main():
     report = {"config": "cube_pde d=5 N_r=4000", "repeats": REPEATS,
               "device": str(jax.devices()[0])}
 
+    # Relay round-trip floor: a trivial program through the same barrier.
+    # Every *_ms below includes this constant; subtract it for device time.
+    tiny = jnp.zeros((8,))
+    t_floor, _ = timed(jax.jit(lambda x: x + 1), tiny)
+    report["dispatch_floor_ms"] = t_floor * 1e3
+
     # --- components ---
     sample = jax.jit(solver._sample)
     t_sample, (batch, bbatch, vbatch) = timed(sample, key)
@@ -117,8 +140,9 @@ def main():
     t_adam, _ = timed(adam, grads, state.opt_u, state.u_params)
     report["adam_update_ms"] = t_adam * 1e3
 
-    # --- the real fused step ---
-    t_outer, _ = timed(solver._outer, state)
+    # --- the real fused step (non-donating jit so repeats can reuse state)
+    outer = jax.jit(solver._step_fn)
+    t_outer, _ = timed(outer, state)
     report["outer_step_ms"] = t_outer * 1e3
 
     # --- MFU ---

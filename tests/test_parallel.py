@@ -49,7 +49,7 @@ def test_batch_actually_sharded():
     mesh = make_mesh(jax.devices())
     solver = NODEWANSolver(CFG, problem, mesh=mesh, work_dir="/tmp/shardchk")
 
-    batch, _ = jax.jit(solver._sample)(jax.random.PRNGKey(0))
+    batch, _, _ = jax.jit(solver._sample)(jax.random.PRNGKey(0))
     shardings = batch.x.sharding
     # the path axis is split over all 8 devices
     assert len(shardings.device_set) == 8

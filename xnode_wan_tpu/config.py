@@ -38,7 +38,8 @@ class SolverConfig:
     u_rate: float = 0.015       # Adam lr for the primal net
     v_rate: float = 0.04        # Adam lr for the adversarial net
     min_steps: int = 5          # min ODE steps over [T0, T] (dataset.py:13)
-    adjoint: bool = False       # rematerialized (checkpointed) scan backward
+    adjoint: bool = False       # reference's odeint_adjoint flag (alias for
+                                # remat_scan here; remat is on by default)
     solver: str = "midpoint"    # fixed-step scheme: euler|midpoint|heun|rk4
 
     # --- "setup" block (reference src/training.py:82) ---
@@ -92,6 +93,14 @@ class SolverConfig:
     data_axis: str = "data"     # mesh axis the path batch is sharded over
     tangent_shards: int = 1     # >1: 2-D mesh, forward-mode tangent batch
                                 # sharded over a second axis (d=20-50 runs)
+    remat_scan: bool = True     # checkpoint each scan step: recompute
+                                # activations on the backward pass instead
+                                # of storing 38 per-step tensors to HBM —
+                                # measured FASTER (22.2 -> 16.3 ms/iter,
+                                # d=5 N_r=4000) because the step is
+                                # HBM-bandwidth-bound, and O(1)-in-L memory
+    scan_unroll: int = 0        # scan unroll factor; 0 = fully unroll the
+                                # L-step time loop (measured best at L=20)
     fourier_features: int = 0   # K>0: append sin/cos(k*pi/2*x), k=1..K to
                                 # the ODE-field input — spectral features
                                 # for high-d oscillatory targets (the d=20

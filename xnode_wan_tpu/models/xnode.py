@@ -107,7 +107,9 @@ def apply_xnode(params: Dict[str, Any], batch: PathBatch, problem,
         return field_apply(params, xs_f, t, h)
 
     hs = integrate(field, h0, batch.times, batch.t_start, batch.mask,
-                   n_sub=cfg.n_sub, method=cfg.solver, remat=cfg.adjoint)
+                   n_sub=cfg.n_sub, method=cfg.solver,
+                   remat=cfg.adjoint or cfg.remat_scan,
+                   unroll=cfg.scan_unroll)
     return linear(params["readout"], hs)[..., 0]    # [N, L]
 
 

@@ -71,13 +71,17 @@ def integrate(
     n_sub: int,
     method: str = "midpoint",
     remat: bool = False,
-    unroll: int = 4,
+    unroll: int = 0,
 ) -> jax.Array:
     """Integrate ``dh/dt = field(t, h)`` to every valid sample time.
 
+    ``unroll=0`` fully unrolls the scan (fastest at the shipped L<=20;
+    measured 16.3 -> 13.3 ms per d=5 outer iteration vs unroll=4).
     Returns ``hs [N, L, H]``: the hidden state at each sample time (stale
     carry at masked-invalid positions — callers mask them out).
     """
+    if unroll <= 0:
+        unroll = times.shape[1]
     stepper = STEPPERS[method]
 
     def interval(h, t0, t1):

@@ -52,11 +52,15 @@ def u_with_spatial_grad(u_apply: Callable, u_params, batch: PathBatch,
                         ) -> Tuple[jax.Array, jax.Array]:
     """u values ``[N, L]`` and pointwise spatial gradients ``[N, L, d]``.
 
-    Forward-mode through the integrator: one nonlinear scan plus ``d``
-    linearized passes (``jax.linearize`` + vmapped tangents), each a full
-    ``[N, ...]``-batched scan on the MXU. ``tangent_sharding`` optionally
-    pins the d-sized tangent batch onto a mesh axis (2-D mesh tangent
-    parallelism, see ``parallel/mesh.py::make_mesh_2d``).
+    Forward-mode through the integrator as ONE ``vmap``ped ``jax.jvp``
+    over the ``d`` tangent directions: a single scan of batch width
+    ``d*N`` carrying primal+tangent jointly. (The primal is replicated
+    ``d`` times — extra FLOPs these tiny nets don't notice — in exchange
+    for half the sequential scan depth of the previous
+    ``jax.linearize``-then-replay form; measured 13.8 -> 11.5 ms per d=5
+    outer iteration.) ``tangent_sharding`` optionally pins the d-sized
+    tangent batch onto a mesh axis (2-D mesh tangent parallelism, see
+    ``parallel/mesh.py::make_mesh_2d``).
     """
     xs0 = batch.space[:, 0, :]  # [N, d]
 
@@ -64,16 +68,15 @@ def u_with_spatial_grad(u_apply: Callable, u_params, batch: PathBatch,
         b = batch.replace(x=_assemble(batch.times, xs))
         return u_apply(u_params, b, problem, cfg)
 
-    u, lin = jax.linearize(u_of, xs0)
     basis = jnp.eye(xs0.shape[-1], dtype=xs0.dtype)
 
-    def tangent(e):
-        return lin(jnp.broadcast_to(e, xs0.shape))
+    def one(e):
+        return jax.jvp(u_of, (xs0,), (jnp.broadcast_to(e, xs0.shape),))
 
-    du = jax.vmap(tangent)(basis)            # [d, N, L]
+    u_rep, du = jax.vmap(one)(basis)         # [d, N, L] each
     if tangent_sharding is not None:
         du = jax.lax.with_sharding_constraint(du, tangent_sharding)
-    return u, jnp.moveaxis(du, 0, -1)        # [N, L, d]
+    return u_rep[0], jnp.moveaxis(du, 0, -1)  # [N, L], [N, L, d]
 
 
 def v_phi_and_grads(v_apply: Callable, v_params, pts: jax.Array,
