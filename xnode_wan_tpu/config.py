@@ -106,6 +106,9 @@ class SolverConfig:
                                 # for high-d oscillatory targets (the d=20
                                 # product-of-sines stress); 0 = reference
                                 # parity (raw coordinates only)
+    v_fourier_features: int = 0  # same Fourier bank on the discriminator
+                                # input (the adversary must resolve the
+                                # oscillatory residual structure too)
     p: float = 2.0              # L^p norm for error reporting
 
     def __post_init__(self):

@@ -129,7 +129,8 @@ class NODEWANSolver:
         init_fn, self._u_apply, self._u_eval_points = PRIMAL_MODELS[cfg.primal]
 
         def v_apply(v_params, pts):
-            return apply_discriminator(v_params, pts, cfg.v_layers, cfg.tied_v)
+            return apply_discriminator(v_params, pts, cfg.v_layers,
+                                       cfg.tied_v, cfg.v_fourier_features)
 
         self._v_apply = v_apply
 
@@ -177,7 +178,8 @@ class NODEWANSolver:
             key, ku, kv = jax.random.split(key, 3)
             u_params = self._init_fn(ku, cfg)
             v_params = init_discriminator(kv, cfg.dim, cfg.v_hidden_dim,
-                                          cfg.v_layers, cfg.tied_v)
+                                          cfg.v_layers, cfg.tied_v,
+                                          cfg.v_fourier_features)
             return TrainState(
                 u_params=u_params, v_params=v_params,
                 opt_u=self._tx_u.init(u_params),
@@ -412,7 +414,8 @@ class NODEWANSolver:
                 key, kv = jax.random.split(self.state.key)
                 v_params = init_discriminator(
                     kv, self.cfg.dim, self.cfg.v_hidden_dim,
-                    self.cfg.v_layers, self.cfg.tied_v)
+                    self.cfg.v_layers, self.cfg.tied_v,
+                    self.cfg.v_fourier_features)
                 self.state = self.state.replace(
                     v_params=v_params, opt_v=self._tx_v.init(v_params),
                     key=key)
