@@ -235,3 +235,14 @@ def test_ensemble_on_mesh(problem, tmp_path):
     assert solver.mesh is not None
     m = solver.train(report=False)
     assert np.isfinite(m["loss_u"])
+
+
+def test_u_scale_auto(tmp_path):
+    # auto scale estimates rms(h) and keeps the net's internal range O(1);
+    # Ex4_3 at d=2 has amplitude 2*(pi/2)^2 ~ 4.9
+    prob = load_problem("Ex4_3_consistent", dim=2)
+    cfg = SMALL.replace(u_scale=0.0, iterations=5)
+    solver = NODEWANSolver(cfg, prob, work_dir=str(tmp_path))
+    assert solver.cfg.u_scale > 1.0
+    m = solver.train(report=False)
+    assert np.isfinite(m["loss_u"])

@@ -109,6 +109,13 @@ class SolverConfig:
     v_fourier_features: int = 0  # same Fourier bank on the discriminator
                                 # input (the adversary must resolve the
                                 # oscillatory residual structure too)
+    u_scale: float = 1.0        # model-level output scale: the primal net
+                                # internally sees seed/u_scale and returns
+                                # net*u_scale, keeping activations O(1) for
+                                # problems with large solution amplitude
+                                # (Ex4_3 at d=20: (pi/2)^20 ~ 1.7e4).
+                                # 0 = auto (rms of h over a probe sample).
+                                # 1 = reference parity (no scaling)
     p: float = 2.0              # L^p norm for error reporting
 
     def __post_init__(self):

@@ -38,11 +38,13 @@ def _mlp(params: Dict[str, Any], pts: jax.Array) -> jax.Array:
 def apply_wan(params: Dict[str, Any], batch: PathBatch, problem,
               cfg: SolverConfig) -> jax.Array:
     del problem
-    return _mlp(params, batch.x)
+    scale = cfg.u_scale if cfg.u_scale > 0 else 1.0
+    return _mlp(params, batch.x) * scale
 
 
 def evaluate_points(params: Dict[str, Any], pts: jax.Array, problem,
                     cfg: SolverConfig, k_steps: int | None = None,
                     domain=None) -> jax.Array:
     del problem, k_steps, domain  # plain MLP evaluates anywhere directly
-    return _mlp(params, pts)
+    scale = cfg.u_scale if cfg.u_scale > 0 else 1.0
+    return _mlp(params, pts) * scale

@@ -96,7 +96,8 @@ def apply_xnode(params: Dict[str, Any], batch: PathBatch, problem,
     entry_pts = jnp.concatenate(
         [batch.t_start.astype(xs.dtype)[:, None], xs], axis=-1)
     seed_g = problem.g(entry_pts)
-    seed = jnp.where(batch.seed_from_h, seed_h, seed_g)[:, None]
+    scale = jnp.asarray(cfg.u_scale if cfg.u_scale > 0 else 1.0, xs.dtype)
+    seed = jnp.where(batch.seed_from_h, seed_h, seed_g)[:, None] / scale
     h0 = lift_apply(params, seed)
 
     # x is frozen along each path, so the (optional) Fourier bank is
@@ -110,7 +111,7 @@ def apply_xnode(params: Dict[str, Any], batch: PathBatch, problem,
                    n_sub=cfg.n_sub, method=cfg.solver,
                    remat=cfg.adjoint or cfg.remat_scan,
                    unroll=cfg.scan_unroll)
-    return linear(params["readout"], hs)[..., 0]    # [N, L]
+    return linear(params["readout"], hs)[..., 0] * scale   # [N, L]
 
 
 def evaluate_points(params: Dict[str, Any], pts: jax.Array, problem,
@@ -135,15 +136,16 @@ def evaluate_points(params: Dict[str, Any], pts: jax.Array, problem,
     else:
         t_entry = jnp.full((pts.shape[0],), cfg.T0, dtype=pts.dtype)
         seed_from_h = jnp.ones((pts.shape[0],), dtype=bool)
+    scale = cfg.u_scale if cfg.u_scale > 0 else 1.0
     if (cfg.use_pallas and not cfg.x64 and cfg.fourier_features == 0
             and jax.default_backend() == "tpu"):
         from xnode_wan_tpu.ops.pallas.xnode_eval import fused_evaluate
         pts0 = pts.at[:, 0].set(cfg.T0)
         entry_pts = pts.at[:, 0].set(t_entry)
         seed = jnp.where(seed_from_h, problem.h(pts0),
-                         problem.g(entry_pts))
+                         problem.g(entry_pts)) / scale
         return fused_evaluate(params, pts, seed, k_steps * cfg.n_sub,
-                              t_start=t_entry)
+                              t_start=t_entry) * scale
     m = pts.shape[0]
     t = pts[:, 0]
     frac = jnp.linspace(0.0, 1.0, k_steps + 1, dtype=pts.dtype)

@@ -126,6 +126,13 @@ class NODEWANSolver:
                                   path_boundary=cfg.boundary_paths,
                                   waist_cap=cfg.waist_cap)
 
+        if cfg.u_scale == 0:  # auto: rms of the initial data over a probe
+            probe = self.domain.interior(jax.random.PRNGKey(17), 512)
+            h_vals = problem.h(probe.x[:, 0, :])
+            s = float(jnp.sqrt(jnp.mean(h_vals ** 2)))
+            cfg = cfg.replace(u_scale=max(1.0, s))
+            self.cfg = cfg
+
         init_fn, self._u_apply, self._u_eval_points = PRIMAL_MODELS[cfg.primal]
 
         def v_apply(v_params, pts):
