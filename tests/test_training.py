@@ -246,3 +246,25 @@ def test_u_scale_auto(tmp_path):
     assert solver.cfg.u_scale > 1.0
     m = solver.train(report=False)
     assert np.isfinite(m["loss_u"])
+
+
+def test_train_until_stall_actions(problem, tmp_path):
+    # lr=0 freezes learning -> rel_err plateaus -> the stall detector must
+    # fire; "reinit_v" replaces only the adversary, "restart" rerolls all
+    import jax
+    frozen = SMALL.replace(u_rate=1e-30, v_rate=1e-30, iterations=24)
+
+    def flat(tree):
+        return np.concatenate([np.asarray(a).ravel()
+                               for a in jax.tree.leaves(tree)])
+
+    s1 = NODEWANSolver(frozen, problem, work_dir=str(tmp_path))
+    u0, v0 = flat(s1.state.u_params), flat(s1.state.v_params)
+    s1.train_until(1e-9, 24, window=4, stall_action="reinit_v")
+    assert np.allclose(flat(s1.state.u_params), u0)      # primal kept
+    assert not np.allclose(flat(s1.state.v_params), v0)  # adversary replaced
+
+    s2 = NODEWANSolver(frozen, problem, work_dir=str(tmp_path))
+    u0 = flat(s2.state.u_params)
+    s2.train_until(1e-9, 24, window=4, stall_action="restart")
+    assert not np.allclose(flat(s2.state.u_params), u0)  # multi-start reroll
