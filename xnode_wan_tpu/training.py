@@ -385,6 +385,7 @@ class NODEWANSolver:
         done = 0
         rel = float("inf")
         best_rel = float("inf")
+        best_seen = (float("inf"), None)  # (window-end rel, u_params copy)
         chunks = {"loss_u": [], "L2": [], "rel_err": []}
         while done < max_iters and rel > rel_tol:
             t0 = time.time()
@@ -400,6 +401,13 @@ class NODEWANSolver:
                 break
             if self.cfg.ensemble > 1:
                 self._best_member = int(h["best_member"][k - 1])
+            # Adversarial training can destabilize late (observed on the
+            # d=20 product-of-sines run: best 3% then oscillation to 16%+);
+            # keep the best window-end primal so the saved weights are the
+            # best state seen, not wherever the run happened to end.
+            if rel < best_seen[0]:
+                best_seen = (rel, jax.tree.map(jnp.copy,
+                                               self._u_params_for_eval()))
             # full window overran the per-program budget: halve it
             if (k == window and window > 8
                     and time.time() - t0 > window_target_s):
@@ -436,7 +444,13 @@ class NODEWANSolver:
                for name, parts in chunks.items()}
         out["iterations_run"] = done
         out["rel_err_final"] = rel
-        self._save_best()
+        if best_seen[1] is not None and best_seen[0] < rel:
+            ckpt.save(os.path.join(self.work_dir,
+                                   "best_model_weights_NODE.msgpack"),
+                      best_seen[1])
+            out["rel_err_best_saved"] = best_seen[0]
+        else:
+            self._save_best()
         self.save_checkpoint()
         return out
 
