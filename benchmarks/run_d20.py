@@ -24,6 +24,10 @@ def main():
     ap.add_argument("--tol", type=float, default=0.05)
     ap.add_argument("--max-iters", type=int, default=4000)
     ap.add_argument("--problem", default="Ex4_3_consistent")
+    ap.add_argument("--fine-tune-tol", type=float, default=None,
+                    help="after reaching --tol, drop lr 10x (fresh Adam) "
+                         "and continue to this tolerance")
+    ap.add_argument("--fine-tune-iters", type=int, default=3000)
     ap.add_argument("overrides", nargs="*",
                     help="key=value SolverConfig overrides")
     args = ap.parse_args()
@@ -53,14 +57,29 @@ def main():
     solver = NODEWANSolver(cfg, problem, work_dir="/tmp/d20_run")
     t0 = time.time()
     hist = solver.train_until(args.tol, args.max_iters, window=100)
-    wall = time.time() - t0
-
     rel = [float(x) for x in hist["rel_err"]]
+    phase2 = None
+    if (args.fine_tune_tol is not None
+            and hist["rel_err_final"] < args.tol):
+        solver.drop_learning_rate(0.1, lr_decay=0.99)
+        h2 = solver.train_until(args.fine_tune_tol, args.fine_tune_iters,
+                                window=100)
+        rel += [float(x) for x in h2["rel_err"]]
+        hist = dict(hist)
+        hist["rel_err_final"] = h2["rel_err_final"]
+        hist["iterations_run"] = (int(hist["iterations_run"])
+                                  + int(h2["iterations_run"]))
+        phase2 = {"tol": args.fine_tune_tol,
+                  "iterations": int(h2["iterations_run"]),
+                  "rel_err_final": float(h2["rel_err_final"])}
+    wall = time.time() - t0
+    final_tol = args.fine_tune_tol or args.tol
     result = {
         "problem": args.problem,
         "overrides": ov,
         "tol": args.tol,
-        "converged": hist["rel_err_final"] < args.tol,
+        "fine_tune": phase2,
+        "converged": hist["rel_err_final"] < final_tol,
         "rel_err_final": float(hist["rel_err_final"]),
         "best_rel_err": min(rel) if rel else None,
         "iterations_run": int(hist["iterations_run"]),

@@ -268,3 +268,23 @@ def test_train_until_stall_actions(problem, tmp_path):
     u0 = flat(s2.state.u_params)
     s2.train_until(1e-9, 24, window=4, stall_action="restart")
     assert not np.allclose(flat(s2.state.u_params), u0)  # multi-start reroll
+
+
+def test_drop_learning_rate_phase2(problem, tmp_path):
+    import jax
+    solver = NODEWANSolver(SMALL.replace(iterations=6), problem,
+                           work_dir=str(tmp_path))
+    solver.train(report=False)
+    u_before = jax.tree.leaves(solver.state.u_params)[1].copy()
+    rate_before = solver.cfg.u_rate
+    solver.drop_learning_rate(0.1)
+    assert solver.cfg.u_rate == pytest.approx(rate_before * 0.1)
+    # params kept, Adam moments reset
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(solver.state.u_params)[1]),
+        np.asarray(u_before))
+    counts = [np.asarray(x) for x in jax.tree.leaves(solver.state.opt_u)
+              if np.asarray(x).ndim == 0]
+    assert any(c == 0 for c in counts)  # fresh optimizer step count
+    m = solver.train(report=False, iterations=3)
+    assert np.isfinite(m["loss_u"])
