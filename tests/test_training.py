@@ -209,7 +209,11 @@ def test_ensemble_multistart(problem, tmp_path):
     # K=3 members advance in one vmapped program; metrics are the best
     # member's and best_member is tracked for serving paths
     cfg = SMALL.replace(ensemble=3, iterations=8)
-    solver = NODEWANSolver(cfg, problem, work_dir=str(tmp_path))
+    # K=3 has no layout on the auto 8-device mesh (and the solver now
+    # refuses to silently degrade) -> run explicitly single-device.
+    import jax as _jax
+    solver = NODEWANSolver(cfg, problem, work_dir=str(tmp_path),
+                           devices=_jax.devices()[:1])
     m = solver.train(report=False)
     assert np.isfinite(m["loss_u"])
     assert 0 <= int(m["best_member"]) < 3

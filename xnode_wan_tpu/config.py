@@ -63,6 +63,10 @@ class SolverConfig:
     profile_dir: str = ""       # write a jax.profiler trace of iters [3, 8)
     debug_nans: bool = False    # functional-JAX "sanitizer": raise on NaN
     use_pallas: bool = True     # fused Pallas kernel on the TPU eval path
+    fused_grad: bool = True     # fused Pallas (u, grad_x u) custom-VJP
+                                # kernel on the single-chip TPU training
+                                # path (ops/pallas/xnode_train.py); False
+                                # falls back to the XLA vmap(jvp) scan
     grad_clip: float = 0.0      # optax global-norm clip (0 = off, as reference)
     lr_decay: float = 1.0       # exponential lr decay rate per 1000 steps
                                 # (1.0 = constant, as reference)
@@ -109,6 +113,17 @@ class SolverConfig:
     v_fourier_features: int = 0  # same Fourier bank on the discriminator
                                 # input (the adversary must resolve the
                                 # oscillatory residual structure too)
+    train_chunk: int = 10       # outer iterations per device dispatch in
+                                # train(): the host replays logging/stop
+                                # hooks from stacked metrics once per
+                                # chunk, so the ~30 ms dispatch round-trip
+                                # amortizes over `train_chunk` ~10 ms
+                                # steps. 1 = per-iteration dispatch
+                                # (reference-like; used when profiling)
+    window_target_s: float = 60.0  # train_until: halve the while_loop
+                                # window when one full window overruns
+                                # this wall-clock budget (device-watchdog
+                                # protection; see training.train_until)
     u_scale: float = 1.0        # model-level output scale: the primal net
                                 # internally sees seed/u_scale and returns
                                 # net*u_scale, keeping activations O(1) for
@@ -144,6 +159,19 @@ class SolverConfig:
             raise ValueError("N_t must be >= 2 (need both endpoints)")
         if self.T <= self.T0:
             raise ValueError("need T > T0")
+        if self.independent_uv and self.domain != "Hypercube":
+            # The reference only draws independent u/v clouds for
+            # single-group (hypercube) domains and clones the points for
+            # list-type ones (src/dataset.py:306-310 + group handling).
+            # On a moving domain an independent v cloud has its own
+            # valid/invalid structure: invalid v positions can sit outside
+            # the domain where func_w < 0, silently flipping phi's sign in
+            # the paired estimator. Reject rather than corrupt.
+            raise ValueError(
+                "independent_uv=true is only meaningful on the Hypercube "
+                "domain (the reference pairs independent u/v clouds only "
+                "there); on moving domains the v cloud's own masking "
+                "would silently corrupt the paired weak-form estimator")
 
     # Static substep count guaranteeing the fillt invariant (see sampling.py):
     # stratified time grids have max gap <= 2*(T-T0)/N_t, so n_sub substeps

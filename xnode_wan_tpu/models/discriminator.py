@@ -20,15 +20,16 @@ from xnode_wan_tpu.models.layers import linear, linear_init, mlp_init
 
 
 def init_discriminator(key: jax.Array, dim: int, v_hidden: int, v_layers: int,
-                       tied: bool = True, n_freq: int = 0) -> Dict[str, Any]:
+                       tied: bool = True, n_freq: int = 0,
+                       dtype=None) -> Dict[str, Any]:
     k_in, k_hid, k_out = jax.random.split(key, 3)
-    hidden = (linear_init(k_hid, v_hidden, v_hidden) if tied else
-              mlp_init(k_hid, [v_hidden] * (v_layers + 1)))
+    hidden = (linear_init(k_hid, v_hidden, v_hidden, dtype=dtype) if tied else
+              mlp_init(k_hid, [v_hidden] * (v_layers + 1), dtype=dtype))
     in_dim = 1 + dim * (1 + 2 * n_freq)
     return {
-        "inp": linear_init(k_in, in_dim, v_hidden),
+        "inp": linear_init(k_in, in_dim, v_hidden, dtype=dtype),
         "hidden": hidden,
-        "out": linear_init(k_out, v_hidden, 1),
+        "out": linear_init(k_out, v_hidden, 1, dtype=dtype),
     }
 
 

@@ -24,7 +24,9 @@ from xnode_wan_tpu.ops.sampling import PathBatch
 
 def init_wan(key: jax.Array, cfg: SolverConfig) -> Dict[str, Any]:
     h, d = cfg.u_hidden_dim, cfg.dim
-    return {"net": mlp_init(key, [d + 1] + [h] * (cfg.u_layers + 1) + [1])}
+    dt = jnp.float64 if cfg.x64 else jnp.float32
+    return {"net": mlp_init(key, [d + 1] + [h] * (cfg.u_layers + 1) + [1],
+                            dtype=dt)}
 
 
 def _mlp(params: Dict[str, Any], pts: jax.Array) -> jax.Array:

@@ -55,11 +55,12 @@ def spatial_features(x: jax.Array, n_freq: int) -> jax.Array:
 def init_xnode(key: jax.Array, cfg: SolverConfig) -> Dict[str, Any]:
     k_lift, k_field, k_out = jax.random.split(key, 3)
     h, hh = cfg.u_hidden_dim, cfg.u_hidden_hidden_dim
+    dt = jnp.float64 if cfg.x64 else jnp.float32
     field_dims = [h + _feature_dim(cfg) + 1] + [hh] * cfg.u_layers + [h]
     return {
-        "lift": mlp_init(k_lift, [1, h, h, h]),
-        "field": mlp_init(k_field, field_dims),
-        "readout": linear_init(k_out, h, 1),
+        "lift": mlp_init(k_lift, [1, h, h, h], dtype=dt),
+        "field": mlp_init(k_field, field_dims, dtype=dt),
+        "readout": linear_init(k_out, h, 1, dtype=dt),
     }
 
 

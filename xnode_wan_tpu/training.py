@@ -22,6 +22,7 @@ instead of the reference's hard ``exit()`` (``src/training.py:142-145``).
 from __future__ import annotations
 
 import functools
+import math
 import os
 import time
 from typing import Any, Callable, Mapping, Optional
@@ -51,6 +52,42 @@ PRIMAL_MODELS = {
     "wan": (wan_model.init_wan, wan_model.apply_wan,
             wan_model.evaluate_points),
 }
+
+
+def _window_stalled(rel_window, best_rel: float) -> bool:
+    """Trajectory-statistics stall test for one ``train_until`` window.
+
+    A window is stalled when it (a) sets no *significant* new best — its
+    minimum does not undercut the best seen by more than two window-noise
+    standard deviations in log space (rel_err is a fresh-sample Monte-
+    Carlo estimate, so sub-noise dips are not progress) — and (b) shows
+    no statistically significant downward trend: the least-squares slope
+    of ``log rel_err`` over the window, plus two standard errors, is
+    still >= 0. Every threshold is derived from the window's own
+    trajectory statistics; the 2-sigma band is the standard confidence
+    choice, not a fitted constant (this replaces the round-2 magic
+    ``0.99`` relative-improvement literal).
+    """
+    import numpy as np
+
+    r = np.asarray(rel_window, dtype=np.float64)
+    r = r[np.isfinite(r) & (r > 0)]
+    if r.size < 4:
+        return False
+    y = np.log(r)
+    t = np.arange(y.size, dtype=np.float64)
+    t -= t.mean()
+    denom = float((t * t).sum())
+    slope = float((t * y).sum()) / denom
+    resid = y - y.mean() - slope * t
+    var = float((resid * resid).sum()) / max(y.size - 2, 1)
+    noise_sd = math.sqrt(max(var, 0.0))
+    if not np.isfinite(best_rel):
+        return False  # no baseline yet — the first window can't stall
+    if float(y.min()) < math.log(best_rel) - 2.0 * noise_sd:
+        return False  # significant new best: real progress
+    stderr = math.sqrt(max(var, 0.0) / denom)
+    return slope + 2.0 * stderr >= 0.0
 
 
 @struct.dataclass
@@ -83,10 +120,18 @@ class NODEWANSolver:
         cfg = (params if isinstance(params, SolverConfig)
                else SolverConfig.from_dict(dict(params)))
         if cfg.x64:
+            # f64 requires the process-global flag, which is only ever
+            # ENABLED here, never flipped back off: every array this
+            # package creates carries an explicit per-solver dtype
+            # (``x64=cfg.x64`` threaded through samplers and model inits),
+            # so an f32 solver stays f32 end-to-end even while the global
+            # flag is on — solvers with different precisions coexist in
+            # one process (tested in tests/test_highdim_x64.py).
             jax.config.update("jax_enable_x64", True)
         if cfg.debug_nans:
             # The closest TPU-native analogue of a sanitizer for this
             # all-functional program (SURVEY §5 race-detection row).
+            # Enable-only for the same process-global reason as x64.
             jax.config.update("jax_debug_nans", True)
         if problem.dim is not None and problem.dim != cfg.dim:
             raise ValueError(
@@ -108,14 +153,22 @@ class NODEWANSolver:
                     self.mesh = make_mesh(devs, cfg.data_axis)
         n_shards = self.mesh.size if self.mesh is not None else 1
         if cfg.ensemble > 1:
-            if self.mesh is not None and cfg.ensemble % n_shards:
-                if mesh is not None:  # user-supplied: don't silently drop
-                    raise ValueError(
-                        f"ensemble={cfg.ensemble} must divide evenly over "
-                        f"the {n_shards}-device mesh (member axis is the "
-                        f"sharded one)")
-                self.mesh = None  # auto mesh unusable for this K: run local
-            n_shards = 1  # path axes stay unsharded under ensemble vmap
+            if cfg.tangent_shards > 1:
+                raise ValueError(
+                    "ensemble and tangent_shards do not compose; pick one")
+            if self.mesh is not None and "member" not in self.mesh.axis_names:
+                # Re-lay the devices out as a member x data mesh (or
+                # member-only when K is a device-count multiple); raises
+                # on impossible K rather than silently dropping the mesh.
+                from xnode_wan_tpu.parallel.mesh import make_mesh_ensemble
+                self.mesh = make_mesh_ensemble(
+                    list(self.mesh.devices.flat), cfg.ensemble,
+                    cfg.data_axis)
+            if self.mesh is not None and cfg.data_axis in self.mesh.axis_names:
+                # per-member path shards on the data axis
+                n_shards = self.mesh.shape[cfg.data_axis]
+            else:
+                n_shards = 1
         # Shard-divisible Monte-Carlo batch sizes.
         cfg = cfg.replace(N_r=round_up(cfg.N_r, n_shards),
                           N_b=round_up(cfg.N_b, n_shards))
@@ -124,7 +177,7 @@ class NODEWANSolver:
         self.domain = make_domain(cfg.domain, cfg.shape_param, cfg.dim,
                                   cfg.T0, cfg.T, cfg.N_t,
                                   path_boundary=cfg.boundary_paths,
-                                  waist_cap=cfg.waist_cap)
+                                  waist_cap=cfg.waist_cap, x64=cfg.x64)
 
         if cfg.u_scale == 0:  # auto: rms of the initial data over a probe
             probe = self.domain.interior(jax.random.PRNGKey(17), 512)
@@ -163,16 +216,37 @@ class NODEWANSolver:
     def _make_tx(self, lr):
         """Adam, as in the reference (src/training.py:103-104); optional
         global-norm clipping for the adversarial-dynamics blowups the
-        reference has no defense against."""
+        reference has no defense against.
+
+        Wrapped in ``optax.inject_hyperparams`` so the learning rate lives
+        in the *optimizer state* (a device operand of the compiled step)
+        rather than being baked into the traced program —
+        :meth:`drop_learning_rate` then reuses every compiled program
+        instead of forcing a multi-minute recompile per phase.
+        """
         cfg = self.cfg
+
+        @optax.inject_hyperparams
+        def tx(learning_rate):
+            adam = optax.adam(learning_rate)
+            if cfg.grad_clip > 0:
+                return optax.chain(
+                    optax.clip_by_global_norm(cfg.grad_clip), adam)
+            return adam
+
         if cfg.lr_decay < 1.0:
             lr = optax.exponential_decay(lr, transition_steps=1000,
                                          decay_rate=cfg.lr_decay)
-        adam = optax.adam(lr)
-        if cfg.grad_clip > 0:
-            return optax.chain(optax.clip_by_global_norm(cfg.grad_clip),
-                               adam)
-        return adam
+        return tx(lr)
+
+    @staticmethod
+    def _set_lr(opt_state, lr):
+        """New learning rate into an inject_hyperparams state (structure
+        unchanged -> compiled programs keep their caches)."""
+        hp = dict(opt_state.hyperparams)
+        hp["learning_rate"] = jnp.asarray(
+            lr, jnp.asarray(opt_state.hyperparams["learning_rate"]).dtype)
+        return opt_state._replace(hyperparams=hp)
 
     def drop_learning_rate(self, factor: float = 0.1,
                            lr_decay: Optional[float] = None) -> None:
@@ -184,24 +258,36 @@ class NODEWANSolver:
         (measured on the d=20 product-of-sines stress: 5% after phase 1,
         then ``drop_learning_rate(0.1)`` + continued training reaches a
         STABLE 1.5% — vs oscillating back to 16%+ when continuing at the
-        phase-1 rate). Clears the compiled-program caches (the optimizer
-        is baked into the traced step).
+        phase-1 rate).
+
+        With a constant learning rate (``lr_decay == 1.0``, the default
+        and the d=20 recipe) the new rate is written into the optimizer
+        *state* (``inject_hyperparams``) and every compiled program is
+        reused — the two-phase recipe pays ONE compile. Only a schedule
+        change (``lr_decay``) still rebuilds, since the schedule function
+        itself is baked into the traced update.
         """
+        new_decay = self.cfg.lr_decay if lr_decay is None else lr_decay
+        schedule_changed = new_decay != self.cfg.lr_decay
         self.cfg = self.cfg.replace(
             u_rate=self.cfg.u_rate * factor,
             v_rate=self.cfg.v_rate * factor,
-            lr_decay=self.cfg.lr_decay if lr_decay is None else lr_decay)
+            lr_decay=new_decay)
         self._tx_u = self._make_tx(self.cfg.u_rate)
         self._tx_v = self._make_tx(self.cfg.v_rate)
         init_u, init_v = self._tx_u.init, self._tx_v.init
+        set_u = functools.partial(self._set_lr, lr=self.cfg.u_rate)
+        set_v = functools.partial(self._set_lr, lr=self.cfg.v_rate)
         if self.cfg.ensemble > 1:
             init_u, init_v = jax.vmap(init_u), jax.vmap(init_v)
+            set_u, set_v = jax.vmap(set_u), jax.vmap(set_v)
         self.state = self.state.replace(
-            opt_u=init_u(self.state.u_params),
-            opt_v=init_v(self.state.v_params))
-        self._outer = self._build_outer()
-        self._outer_chunk_cache.clear()
-        self._train_until_cache.clear()
+            opt_u=set_u(init_u(self.state.u_params)),
+            opt_v=set_v(init_v(self.state.v_params)))
+        if schedule_changed and self.cfg.lr_decay < 1.0:
+            self._outer = self._build_outer()
+            self._outer_chunk_cache.clear()
+            self._train_until_cache.clear()
 
     def _reinit_state(self, key: jax.Array) -> None:
         """Fresh parameters + optimizer states from ``key`` (construction
@@ -211,12 +297,14 @@ class NODEWANSolver:
         from xnode_wan_tpu.models.discriminator import init_discriminator
         cfg = self.cfg
 
+        vdt = jnp.float64 if cfg.x64 else jnp.float32
+
         def one(key):
             key, ku, kv = jax.random.split(key, 3)
             u_params = self._init_fn(ku, cfg)
             v_params = init_discriminator(kv, cfg.dim, cfg.v_hidden_dim,
                                           cfg.v_layers, cfg.tied_v,
-                                          cfg.v_fourier_features)
+                                          cfg.v_fourier_features, dtype=vdt)
             return TrainState(
                 u_params=u_params, v_params=v_params,
                 opt_u=self._tx_u.init(u_params),
@@ -252,9 +340,21 @@ class NODEWANSolver:
 
     def _step_fn_ensemble(self, states):
         states = self._shard_members(states)
-        states, m = jax.vmap(self._outer_step)(states)
+        spmd = ("member" if (self.mesh is not None
+                             and "member" in self.mesh.axis_names) else None)
+        # spmd_axis_name lifts the per-member sharding constraints inside
+        # _outer_step to P('member', data, ...) — members shard over the
+        # member axis AND each member's path batch shards over its own
+        # data-axis devices (the composed member x data layout).
+        states, m = jax.vmap(self._outer_step, spmd_axis_name=spmd)(states)
         states = self._shard_members(states)
-        crit = m.get("rel_err", m["loss_u"])
+        # Best-member criterion: rel_err when an exact solution exists;
+        # otherwise a u-only surrogate (init + boundary residual). loss_u's
+        # min-max objective is NOT a fitness proxy — its minimum can mark
+        # the member with the weakest adversary, not the best primal.
+        crit = m.get("rel_err", None)
+        if crit is None:
+            crit = m["init"] + m["bdry"]
         best = jnp.argmin(crit)
         scalar = {k: v[best] for k, v in m.items()}
         scalar["best_member"] = best.astype(jnp.float32)
@@ -263,12 +363,12 @@ class NODEWANSolver:
         return states, scalar
 
     def _shard_members(self, states):
-        """Ensemble data parallelism: member axis over the mesh data axis
-        (each seed trains on its own chips — embarrassingly parallel)."""
-        if self.mesh is None:
+        """Ensemble parallelism: the stacked member axis shards over the
+        mesh's ``member`` axis (each seed trains on its own chip group)."""
+        if self.mesh is None or "member" not in self.mesh.axis_names:
             return states
         from jax.sharding import NamedSharding, PartitionSpec as P
-        s = NamedSharding(self.mesh, P(self.cfg.data_axis))
+        s = NamedSharding(self.mesh, P("member"))
         return jax.tree.map(
             lambda a: jax.lax.with_sharding_constraint(a, s), states)
 
@@ -280,10 +380,14 @@ class NODEWANSolver:
         return self.state.u_params
 
     def _sample(self, key):
-        # Under ensemble vmap the member axis (not the path axis) is the
-        # mesh-sharded one — constraints go on the stacked state instead
-        # (see _step_fn_ensemble).
-        mesh = None if self.cfg.ensemble > 1 else self.mesh
+        # Under ensemble vmap the per-member path-axis constraints below
+        # are lifted by spmd_axis_name='member' to the composed
+        # P('member', data, ...) layout (see _step_fn_ensemble); a
+        # member-only mesh has no data axis, so skip the constraint.
+        mesh = self.mesh
+        if (self.cfg.ensemble > 1 and mesh is not None
+                and self.cfg.data_axis not in mesh.axis_names):
+            mesh = None
         k_i, k_b = jax.random.split(key)
         batch = self.domain.interior(k_i, self.cfg.N_r)
         bbatch = self.domain.boundary(k_b, self.cfg.N_b)
@@ -387,7 +491,8 @@ class NODEWANSolver:
         return last
 
     def train_until(self, rel_tol: float, max_iters: int,
-                    window: int = 200, window_target_s: float = 60.0,
+                    window: int = 200,
+                    window_target_s: Optional[float] = None,
                     stall_action: str = "none"):
         """Train to a relative-L^p tolerance with on-device stop checking.
 
@@ -398,12 +503,15 @@ class NODEWANSolver:
         single-program runtime: multi-minute device programs trip
         execution watchdogs — observed as 'TPU worker crashed' on long
         d=20 runs — and bound the trajectory-buffer size. The window is
-        halved whenever a full window overruns ``window_target_s``.)
+        halved whenever a full window overruns ``window_target_s``,
+        defaulting to ``cfg.window_target_s``.)
         Records the per-iteration (loss_u, L2, rel_err) trajectory.
         Requires the problem to ship an exact solution.
         """
         if self.problem.u_sol is None:
             raise ValueError("train_until needs problem.u_sol")
+        if window_target_s is None:
+            window_target_s = self.cfg.window_target_s
         window = min(window, max_iters)
 
         def get_run(window):
@@ -420,7 +528,7 @@ class NODEWANSolver:
         while done < max_iters and rel > rel_tol:
             t0 = time.time()
             self.state, k, rel_dev, hist = get_run(window)(
-                self.state, float(rel_tol))
+                self.state, jnp.asarray(rel_tol, jnp.float32))
             k = int(k)
             rel = float(rel_dev)
             h = jax.device_get(hist)
@@ -449,10 +557,11 @@ class NODEWANSolver:
             # adversary (keeps primal progress); "restart" is a full
             # multi-start reroll — empirically required, since a stuck
             # primal re-teaches a fresh adversary the same cycle.
+            # (``ensemble`` is the *principled* multi-start and supersedes
+            # these heuristics — per-member healing doesn't apply.)
             window_min = float(h["rel_err"][:k].min())
-            stalled = (k == window and window_min > best_rel * 0.99
-                       and self.cfg.ensemble == 1)  # ensemble IS the
-            # principled multi-start; per-member heuristics don't apply
+            stalled = (k == window and self.cfg.ensemble == 1
+                       and _window_stalled(h["rel_err"][:k], best_rel))
             if stalled and stall_action == "reinit_v":
                 from xnode_wan_tpu.models.discriminator import \
                     init_discriminator
@@ -460,7 +569,8 @@ class NODEWANSolver:
                 v_params = init_discriminator(
                     kv, self.cfg.dim, self.cfg.v_hidden_dim,
                     self.cfg.v_layers, self.cfg.tied_v,
-                    self.cfg.v_fourier_features)
+                    self.cfg.v_fourier_features,
+                    dtype=jnp.float64 if self.cfg.x64 else jnp.float32)
                 self.state = self.state.replace(
                     v_params=v_params, opt_v=self._tx_v.init(v_params),
                     key=key)
@@ -485,7 +595,10 @@ class NODEWANSolver:
         return out
 
     def _build_train_until(self, window: int):
-        @functools.partial(jax.jit, donate_argnums=0, static_argnums=(1,))
+        # ``tol`` is a DYNAMIC operand (it is only ever compared, never
+        # shaped), so retuning the stop tolerance — e.g. the two-phase
+        # d=20 recipe's 0.05 -> 0.01 — reuses the compiled program.
+        @functools.partial(jax.jit, donate_argnums=0)
         def run(state, tol):
             hist = {
                 "loss_u": jnp.full((window,), jnp.nan),
@@ -538,14 +651,30 @@ class NODEWANSolver:
     # ------------------------------------------------------------------
     def train(self, report: bool = False, report_it: int = 10,
               show_plt: bool = False,
-              iterations: Optional[int] = None) -> Mapping[str, float]:
+              iterations: Optional[int] = None,
+              chunk: Optional[int] = None) -> Mapping[str, float]:
         """Run the alternating loop (reference ``train``, src/training.py:109-187).
 
-        Metric fetches are pipelined one iteration behind the device so the
-        TPU never waits on the host. Returns the last fetched metrics.
+        Dispatches ``chunk`` outer iterations per device program
+        (``lax.scan``; default ``cfg.train_chunk``) and replays the host
+        hooks — logging, best-checkpoint, stop criterion, reporting — from
+        the stacked per-iteration metrics after each chunk. This keeps the
+        per-iteration observable semantics while paying the host dispatch
+        round-trip once per chunk instead of once per iteration (the
+        measured relay floor is ~30 ms against a ~10 ms step — the round-2
+        CLI trained 3-4x slower than the benchmark path for no reason).
+
+        ``chunk=1`` restores the per-iteration dispatch with pipelined
+        metric fetches (used automatically when ``profile_dir`` is set so
+        the trace brackets individual steps). On an early stop the device
+        may have advanced up to ``chunk-1`` iterations past the stop
+        criterion; the reported metrics are from the stop iteration
+        itself. Returns the last consumed metrics.
         """
         cfg = self.cfg
         iterations = iterations if iterations is not None else cfg.iterations
+        if chunk is None:
+            chunk = 1 if cfg.profile_dir else cfg.train_chunk
         pending = None  # (step, device metrics) fetched one iter late
         last = {}
 
@@ -575,13 +704,25 @@ class NODEWANSolver:
                 return True
             return False
 
+        # Full chunks through the scan program; per-iteration tail/fallback.
+        done = 0
+        while chunk > 1 and iterations - done >= chunk:
+            run = self._outer_chunk(chunk)
+            self.state, stacked = run(self.state)
+            ms = jax.device_get(stacked)
+            for i in range(chunk):
+                if consume(done + i, {k: v[i] for k, v in ms.items()}):
+                    self.logger.flush()
+                    return last
+            done += chunk
+
         profiling = False
-        for k in range(iterations):
-            if cfg.profile_dir and k == 3:
+        for k in range(done, iterations):
+            if cfg.profile_dir and k == done + 3:
                 jax.profiler.start_trace(cfg.profile_dir)
                 profiling = True
             self.state, metrics = self._outer(self.state)
-            if cfg.profile_dir and k == 7 and profiling:
+            if cfg.profile_dir and k == done + 7 and profiling:
                 jax.block_until_ready(metrics)
                 jax.profiler.stop_trace()
                 profiling = False

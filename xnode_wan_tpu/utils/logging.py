@@ -12,9 +12,12 @@ Keeps the reference's artifact names and schemas (reference
 plus a structured ``metrics_NODE_<dim>.jsonl`` with one JSON object per
 iteration. Host IO is O(1) per flush: the jsonl gets only the records since
 the previous flush appended; the three JSON list artifacts (whole-history
-snapshots by schema) are rewritten on the final ``flush()`` at stop/end —
-identical contents, without the O(n^2) rewrite-everything-every-25-steps
-cost on the thread that drives the device.
+snapshots by schema) are rewritten on the final ``flush()`` at stop/end AND
+on a coarse periodic cadence (every ``full_flush_every`` jsonl flushes,
+default every 250 iterations) so a crashed run — e.g. a device-watchdog
+kill on a long high-dimensional run — still leaves reference-format
+outputs, without the O(n^2) rewrite-everything-every-25-steps cost on the
+thread that drives the device.
 """
 
 from __future__ import annotations
@@ -26,15 +29,18 @@ from typing import Dict, List
 
 
 class RunLogger:
-    def __init__(self, dim: int, work_dir: str = "./", flush_every: int = 25):
+    def __init__(self, dim: int, work_dir: str = "./", flush_every: int = 25,
+                 full_flush_every: int = 10):
         self.dim = dim
         self.work_dir = work_dir
         self.flush_every = max(1, flush_every)
+        self.full_flush_every = max(1, full_flush_every)
         self.losses: List[float] = []
         self.l2s: List[float] = []
         self.times: List[float] = [time.time()]
         self._records: List[dict] = []
         self._jsonl_written = 0
+        self._n_flushes = 0
         os.makedirs(work_dir, exist_ok=True)
 
     def _path(self, name: str) -> str:
@@ -49,6 +55,11 @@ class RunLogger:
                               **{k: float(v) for k, v in metrics.items()}})
         if (step + 1) % self.flush_every == 0:
             self._flush_jsonl()
+            self._n_flushes += 1
+            if self._n_flushes % self.full_flush_every == 0:
+                # Coarse crash-safety cadence for the reference-format
+                # list artifacts (full rewrite, so kept infrequent).
+                self._write_lists()
 
     def _flush_jsonl(self) -> None:
         """Append records accumulated since the last flush (O(new))."""
@@ -61,12 +72,15 @@ class RunLogger:
                 fh.write(json.dumps(rec) + "\n")
         self._jsonl_written = len(self._records)
 
-    def flush(self) -> None:
-        """Full flush: jsonl tail + the whole-history JSON list artifacts."""
-        self._flush_jsonl()
+    def _write_lists(self) -> None:
         with open(self._path(f"losses_NODE_{self.dim}.json"), "w") as fh:
             json.dump(self.losses, fh)
         with open(self._path(f"L2_NODE_{self.dim}.json"), "w") as fh:
             json.dump(self.l2s, fh)
         with open(self._path(f"Time_NODE_{self.dim}.json"), "w") as fh:
             json.dump(self.times, fh)
+
+    def flush(self) -> None:
+        """Full flush: jsonl tail + the whole-history JSON list artifacts."""
+        self._flush_jsonl()
+        self._write_lists()
