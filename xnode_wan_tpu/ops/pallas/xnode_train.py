@@ -103,9 +103,9 @@ _dot.defvjp(_dot_fwd, _dot_bwd)
 
 @jax.custom_vjp
 def _affine(w, b, z):
-    """``W z + b`` (bias as a rank-2 ones-row matmul; see module note)."""
-    ones = jnp.ones((1, z.shape[1]), dtype=z.dtype)
-    return _mm(w, z) + _mm(b, ones)
+    """``W z + b``. The broadcast add is fine in the forward (the custom
+    VJP below means its transpose is never taken inside a kernel)."""
+    return _mm(w, z) + b
 
 
 def _affine_fwd(w, b, z):
