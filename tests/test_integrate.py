@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from xnode_wan_tpu.ops.integrate import integrate
+from xnode_wan_tpu.ops.integrate import integrate, integrate_adaptive
 
 
 def _grid(n, l):
@@ -108,6 +108,64 @@ def test_remat_matches_plain():
     a = integrate(field, h0, times, jnp.zeros(3), mask, n_sub=2)
     b = integrate(field, h0, times, jnp.zeros(3), mask, n_sub=2, remat=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_dopri5_exact_decay():
+    # Adaptive RK5(4) must hit the closed form well within tolerance.
+    field = lambda t, h: -h
+    h0 = jnp.ones((4, 3))
+    times = _grid(4, 9)
+    mask = jnp.ones((4, 9), bool)
+    hs = integrate_adaptive(field, h0, times, jnp.zeros(4), mask,
+                            rtol=1e-6, atol=1e-8, max_steps=16)
+    expect = np.broadcast_to(np.exp(-np.asarray(times))[:, :, None],
+                             (4, 9, 3))
+    np.testing.assert_allclose(np.asarray(hs), expect, rtol=1e-5, atol=1e-6)
+
+
+def test_dopri5_nonlinear_vs_fine_rk4():
+    # Non-autonomous nonlinear field: adaptive answer matches a very fine
+    # fixed-grid rk4 reference.
+    field = lambda t, h: jnp.sin(3.0 * t)[:, None] * h - 0.5 * h ** 2
+    h0 = jnp.full((2, 2), 0.8)
+    times = _grid(2, 6)
+    mask = jnp.ones((2, 6), bool)
+    ref = integrate(field, h0, times, jnp.zeros(2), mask, n_sub=64,
+                    method="rk4")
+    got = integrate_adaptive(field, h0, times, jnp.zeros(2), mask,
+                             rtol=1e-6, atol=1e-8, max_steps=24)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_dopri5_masking_and_t_start():
+    # Same re-entry / frozen-suffix semantics as the fixed-step scan.
+    field = lambda t, h: -h
+    times = _grid(1, 6)
+    mask = jnp.array([[False, False, True, True, False, False]])
+    t_start = jnp.array([0.3])
+    hs = integrate_adaptive(field, jnp.ones((1, 1)), times, t_start, mask,
+                            rtol=1e-6, atol=1e-8)
+    t = np.asarray(times[0])
+    np.testing.assert_allclose(np.asarray(hs[0, :2, 0]), 1.0)
+    np.testing.assert_allclose(np.asarray(hs[0, 2:4, 0]),
+                               np.exp(-(t[2:4] - 0.3)), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(hs[0, 4:, 0]),
+                               np.exp(-(t[3] - 0.3)), rtol=1e-5)
+
+
+def test_dopri5_gradients_and_remat():
+    def loss(h0, remat):
+        field = lambda t, h: -h
+        hs = integrate_adaptive(field, h0, _grid(1, 4), jnp.zeros(1),
+                                jnp.ones((1, 4), bool), rtol=1e-6,
+                                atol=1e-8, remat=remat)
+        return hs[0, -1, 0]
+
+    g = jax.grad(loss)(jnp.ones((1, 1)), False)
+    gr = jax.grad(loss)(jnp.ones((1, 1)), True)
+    assert float(g[0, 0]) == pytest.approx(np.exp(-1.0), rel=1e-4)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr), rtol=1e-6)
 
 
 def test_gradients_flow_through_scan():

@@ -139,6 +139,19 @@ def test_train_until_single_dispatch(problem, tmp_path):
     assert np.isfinite(hist["loss_u"]).all()
 
 
+def test_dopri5_solver_trains(problem, tmp_path):
+    # solver: dopri5 — the adaptive torchdiffeq method surface the
+    # reference exposes (src/model.py:103-106). Error must clearly fall,
+    # matching the fixed-step path's convergence behavior.
+    cfg = SMALL.replace(solver="dopri5", iterations=25, ode_max_steps=8)
+    solver = NODEWANSolver(cfg, problem, work_dir=str(tmp_path))
+    solver.train(report=False)
+    import json as _json
+    l2s = _json.load(open(tmp_path / "L2_NODE_2.json"))
+    assert np.isfinite(l2s).all()
+    assert l2s[-1] < l2s[0] * 0.7
+
+
 def test_adjoint_mode_trains(problem, tmp_path):
     # adjoint=True -> rematerialized scan backward (reference's
     # odeint_adjoint analogue); must train to finite loss

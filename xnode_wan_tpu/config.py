@@ -40,7 +40,10 @@ class SolverConfig:
     min_steps: int = 5          # min ODE steps over [T0, T] (dataset.py:13)
     adjoint: bool = False       # reference's odeint_adjoint flag (alias for
                                 # remat_scan here; remat is on by default)
-    solver: str = "midpoint"    # fixed-step scheme: euler|midpoint|heun|rk4
+    solver: str = "midpoint"    # euler|midpoint|heun|rk4 (fixed-step) or
+                                # dopri5 (adaptive embedded RK5(4) — the
+                                # torchdiffeq method surface the reference
+                                # passes through, src/model.py:103-106)
 
     # --- "setup" block (reference src/training.py:82) ---
     dim: int = 5
@@ -124,6 +127,12 @@ class SolverConfig:
                                 # window when one full window overruns
                                 # this wall-clock budget (device-watchdog
                                 # protection; see training.train_until)
+    ode_rtol: float = 1e-5      # dopri5 relative error tolerance
+    ode_atol: float = 1e-6      # dopri5 absolute error tolerance
+    ode_max_steps: int = 16     # dopri5 static bound on accept/reject
+                                # attempts per sample interval (bounded
+                                # fori_loop, one fixed XLA program — see
+                                # ops/integrate.integrate_adaptive)
     u_scale: float = 1.0        # model-level output scale: the primal net
                                 # internally sees seed/u_scale and returns
                                 # net*u_scale, keeping activations O(1) for
@@ -136,12 +145,13 @@ class SolverConfig:
     def __post_init__(self):
         # Coerce numerics: PyYAML 1.1 parses exponent floats without a sign
         # ("1.0e8") as *strings*; the reference YAML uses plain ints anyway.
-        for name in ("alpha", "u_rate", "v_rate", "T0", "T", "p"):
+        for name in ("alpha", "u_rate", "v_rate", "T0", "T", "p",
+                     "ode_rtol", "ode_atol"):
             object.__setattr__(self, name, float(getattr(self, name)))
         for name in ("u_layers", "u_hidden_dim", "u_hidden_hidden_dim",
                      "v_layers", "v_hidden_dim", "n1", "n2", "min_steps",
                      "dim", "N_t", "N_r", "N_b", "iterations", "seed",
-                     "ensemble"):
+                     "ensemble", "ode_max_steps"):
             object.__setattr__(self, name, int(getattr(self, name)))
         if self.ensemble < 1:
             raise ValueError("ensemble must be >= 1")
@@ -151,8 +161,10 @@ class SolverConfig:
             # The reference's num_layers==0 branch builds a Linear(in, in-1)
             # with mismatched dims (model.py:138) and cannot run; reject it.
             raise ValueError("u_layers must be >= 1")
-        if self.solver not in ("euler", "midpoint", "heun", "rk4"):
+        if self.solver not in ("euler", "midpoint", "heun", "rk4", "dopri5"):
             raise ValueError(f"unknown solver {self.solver!r}")
+        if self.ode_max_steps < 1:
+            raise ValueError("ode_max_steps must be >= 1")
         if self.primal not in ("xnode", "wan"):
             raise ValueError(f"unknown primal model {self.primal!r}")
         if self.N_t < 2:

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from xnode_wan_tpu.config import SolverConfig
 from xnode_wan_tpu.models.layers import linear, linear_init, mlp_init
-from xnode_wan_tpu.ops.integrate import integrate
+from xnode_wan_tpu.ops.integrate import integrate, integrate_adaptive
 from xnode_wan_tpu.ops.sampling import PathBatch
 
 
@@ -108,10 +108,19 @@ def apply_xnode(params: Dict[str, Any], batch: PathBatch, problem,
     def field(t, h):
         return field_apply(params, xs_f, t, h)
 
-    hs = integrate(field, h0, batch.times, batch.t_start, batch.mask,
-                   n_sub=cfg.n_sub, method=cfg.solver,
-                   remat=cfg.adjoint or cfg.remat_scan,
-                   unroll=cfg.scan_unroll)
+    if cfg.solver == "dopri5":
+        # Adaptive embedded RK5(4) — the torchdiffeq method surface the
+        # reference passes through (src/model.py:103-106).
+        hs = integrate_adaptive(field, h0, batch.times, batch.t_start,
+                                batch.mask, rtol=cfg.ode_rtol,
+                                atol=cfg.ode_atol,
+                                max_steps=cfg.ode_max_steps,
+                                remat=cfg.adjoint or cfg.remat_scan)
+    else:
+        hs = integrate(field, h0, batch.times, batch.t_start, batch.mask,
+                       n_sub=cfg.n_sub, method=cfg.solver,
+                       remat=cfg.adjoint or cfg.remat_scan,
+                       unroll=cfg.scan_unroll)
     return linear(params["readout"], hs)[..., 0] * scale   # [N, L]
 
 
@@ -139,7 +148,7 @@ def evaluate_points(params: Dict[str, Any], pts: jax.Array, problem,
         seed_from_h = jnp.ones((pts.shape[0],), dtype=bool)
     scale = cfg.u_scale if cfg.u_scale > 0 else 1.0
     if (cfg.use_pallas and not cfg.x64 and cfg.fourier_features == 0
-            and jax.default_backend() == "tpu"):
+            and cfg.solver != "dopri5" and jax.default_backend() == "tpu"):
         from xnode_wan_tpu.ops.pallas.xnode_eval import fused_evaluate
         pts0 = pts.at[:, 0].set(cfg.T0)
         entry_pts = pts.at[:, 0].set(t_entry)

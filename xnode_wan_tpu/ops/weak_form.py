@@ -264,6 +264,7 @@ def make_losses(problem, domain, cfg: SolverConfig, u_apply: Callable,
     # integration is future work), as do x64 parity runs and the WAN
     # primal (the kernel bakes the XNODE architecture).
     use_fused = (cfg.primal == "xnode" and cfg.fused_grad and not cfg.x64
+                 and cfg.solver != "dopri5"
                  and mesh is None and jax.default_backend() == "tpu")
 
     def int_objective(u_params, v_params, batch, vbatch=None):
