@@ -54,10 +54,29 @@ def main():
     hist = solver.train_until(args.tol, args.max_iters, window=args.window)
     wall = time.time() - t0
 
+    # Provenance: the committed artifact must pin down exactly what ran
+    # (round-2 VERDICT item 5 — every RESULTS.md number needs a committed
+    # artifact plus the command that reproduces it).
+    import hashlib
+    import subprocess
+    cfg_sha = hashlib.sha256(open(args.config, "rb").read()).hexdigest()[:12]
+    try:
+        git_rev = subprocess.check_output(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__))).decode().strip()
+    except Exception:
+        git_rev = None
+
     rel = [float(x) for x in hist["rel_err"]]
     result = {
-        "config": args.config, "problem": args.problem,
-        "overrides": ov, "tol": args.tol,
+        "config": args.config, "config_sha256": cfg_sha,
+        "problem": args.problem,
+        "overrides": ov, "tol": args.tol, "seed": int(cfg.seed),
+        "git_rev": git_rev, "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "command": "python benchmarks/run_scenario.py --config "
+                   f"{args.config} --problem {args.problem} --tol {args.tol}"
+                   f" --max-iters {args.max_iters} --window {args.window}"
+                   + ("".join(" " + kv for kv in args.overrides)),
         "converged": hist["rel_err_final"] < args.tol,
         "rel_err_final": float(hist["rel_err_final"]),
         "best_rel_err": min(rel) if rel else None,

