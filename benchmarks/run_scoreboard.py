@@ -1,0 +1,94 @@
+"""Run every RESULTS.md scenario and commit one artifact per row.
+
+Round-2 VERDICT item 5: the scenario table must be backed by committed
+artifacts (config hash, seed, git rev, trajectory, wall-clock) plus the
+command that reproduces each one. This driver shells out to
+``run_scenario.py`` per scenario — each artifact's ``command`` field is a
+standalone reproduction — and writes ``benchmarks/scenarios/<name>.json``.
+
+Usage:
+  python benchmarks/run_scoreboard.py [--only d5_cube,cone] [--dry]
+
+Takes ~20-40 min on the TPU (cold compiles dominate; the persistent cache
+at /tmp/jax_cache makes reruns fast).
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+ROOT = os.path.dirname(HERE)
+OUT_DIR = os.path.join(HERE, "scenarios")
+
+# name -> (config, problem, tol, max_iters, window, extra_args, overrides)
+SCENARIOS = {
+    "d5_cube": ("configs/cube_pde.yaml", "Ex4_1_funcs", 0.01, 1500, 200,
+                [], []),
+    "d10_ex4_1": ("configs/ex4_1_d10.yaml", "Ex4_1_funcs", 0.01, 1500, 200,
+                  [], []),
+    "cone": ("configs/cone_pde.yaml", "Ex4_1_funcs", 0.01, 2000, 200,
+             [], []),
+    # hourglass oscillates at 1.1-2.4% under the flat lr (fresh-sample MC
+    # noise on the hardest moving domain); the two-phase lr-drop recipe
+    # settles it — phase 1 to 2%, then 10x lr drop to 1%.
+    "hourglass": ("configs/hourglass_pde.yaml", "Ex4_1_funcs", 0.02, 2000,
+                  200, ["--fine-tune-tol", "0.01",
+                        "--fine-tune-iters", "3000"], []),
+    "d20_cube_ensemble": ("configs/cube_pde.yaml", "Ex4_1_funcs", 0.01,
+                          1500, 100, [], ["dim=20", "ensemble=4"]),
+    "d50_cube": ("configs/cube_pde.yaml", "Ex4_1_funcs", 0.01, 1500, 100,
+                 [], ["dim=50"]),
+    "d20_sines_twophase": ("configs/highdim_d20.yaml", "Ex4_3_consistent",
+                           0.05, 2000, 100,
+                           ["--fine-tune-tol", "0.01",
+                            "--fine-tune-iters", "4000"], []),
+    "wan_d5": ("configs/cube_pde.yaml", "Ex4_1_funcs", 0.01, 12000, 500,
+               [], ['primal="wan"']),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None,
+                    help="comma-separated subset of scenario names")
+    ap.add_argument("--dry", action="store_true")
+    args = ap.parse_args()
+
+    names = (args.only.split(",") if args.only else list(SCENARIOS))
+    os.makedirs(OUT_DIR, exist_ok=True)
+    summary = {}
+    for name in names:
+        config, problem, tol, max_iters, window, extra, ov = SCENARIOS[name]
+        out = os.path.join(OUT_DIR, f"{name}.json")
+        cmd = [sys.executable, os.path.join(HERE, "run_scenario.py"),
+               "--config", os.path.join(ROOT, config),
+               "--problem", problem, "--tol", str(tol),
+               "--max-iters", str(max_iters), "--window", str(window),
+               "--out", out] + extra + ov
+        print(f"[scoreboard] {name}: {' '.join(cmd)}", flush=True)
+        if args.dry:
+            continue
+        t0 = time.time()
+        r = subprocess.run(cmd, cwd=ROOT)
+        dt = time.time() - t0
+        ok = r.returncode == 0 and os.path.exists(out)
+        if ok:
+            with open(out) as fh:
+                res = json.load(fh)
+            summary[name] = {"converged": res["converged"],
+                             "iterations": res["iterations_run"],
+                             "rel_err_final": res["rel_err_final"],
+                             "wall_s": round(res["wall_s"], 1)}
+        else:
+            summary[name] = {"error": f"exit {r.returncode}"}
+        print(f"[scoreboard] {name}: {summary[name]} ({dt:.0f}s incl. "
+              "compile)", flush=True)
+    print(json.dumps(summary, indent=1))
+
+
+if __name__ == "__main__":
+    main()

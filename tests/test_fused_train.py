@@ -92,3 +92,24 @@ def test_solver_trains_with_fused_flag_off_matches_api(tmp_path):
                       devices=jax.devices()[:1])
     m = s.train(report=False)
     assert np.isfinite(m["loss_u"])
+
+
+def test_fused_fits_vmem_gate():
+    # Geometries whose backward kernel exceeds the ~16 MB scoped-VMEM
+    # stack at the minimum 128-path block must be gated off the fused
+    # path (they failed to compile on TPU before the gate: d=50 cube and
+    # the wide-field d=20 sines config overflowed by ~0.7 MB).
+    from xnode_wan_tpu.config import load_params
+    from xnode_wan_tpu.ops.pallas.xnode_train import fused_fits
+
+    def verdict(cfg):
+        params = init_xnode(jax.random.PRNGKey(0), cfg)
+        F = cfg.dim * (1 + 2 * cfg.fourier_features)
+        return fused_fits(params, cfg.N_t, cfg.dim, F, cfg.n_sub,
+                          cfg.solver)
+
+    cube = load_params("configs/cube_pde.yaml")
+    assert verdict(cube)                              # d=5 headline: fused
+    assert verdict(cube.replace(dim=20))              # d=20 ensemble: fused
+    assert not verdict(cube.replace(dim=50))          # d=50: XLA fallback
+    assert not verdict(load_params("configs/highdim_d20.yaml"))

@@ -351,11 +351,46 @@ def _bwd_kernel(n_lift: int, n_field: int, L: int, d: int, n_sub: int,
 def _pick_block(L: int, d: int, H: int) -> int:
     """Paths per block under a VMEM budget: the backward kernel's state
     store is ``(L+1) * H * (1+d) * B`` floats plus transient widened
-    activations — keep the store under ~4 MB so Mosaic has headroom."""
+    activations — keep the store under ~4 MB so Mosaic has headroom.
+
+    The floor is 128: Pallas TPU requires lane-dim block sizes to be
+    multiples of the 128-lane tile, so geometries whose footprint does
+    not fit even at B=128 cannot run fused at all — :func:`fused_fits`
+    detects those and the caller keeps the XLA path.
+    """
     budget = 4 * 2 ** 20
     per_path = (L + 1) * H * (1 + d) * 4
     b = budget // max(per_path, 1)
     return max(128, min(1024, (b // 128) * 128))
+
+
+_STAGES = {"euler": 1, "midpoint": 2, "heun": 2, "rk4": 4}
+
+
+def fused_fits(params, L: int, d: int, F: int, n_sub: int,
+               method: str) -> bool:
+    """Whether the backward kernel fits the ~16 MB scoped-VMEM stack at
+    the minimum block size.
+
+    Mosaic allocates the backward's interval-``vjp`` residuals plus the
+    explicit ``(L+1, H, B)``/``(L+1, H, d*B)`` state stores on the scoped
+    VMEM stack (16 MB limit). The block's lane width cannot go below 128
+    paths (tile granularity), so at large ``d``/widths (e.g. d=50 cube,
+    d=20 wide-field sines) the footprint exceeds the limit and the
+    compile fails — this estimate, calibrated against Mosaic's reported
+    scoped allocations on those configs, gates the fused path off before
+    that happens so ``weak_form.py`` keeps the XLA ``vmap(jvp)`` path.
+    """
+    H = params["lift"][-1]["w"].shape[-1]
+    n_field = len(params["field"])
+    width = params["field"][0]["w"].shape[-1]
+    block = _pick_block(L, d, H)
+    lanes = block * (1 + d)
+    store = (L + 1) * H * lanes * 4
+    # residual rows of one interval vjp: field-MLP layer inputs + output
+    rows = (F + H + 1) + width * (n_field - 1) + H
+    transient = 1.6 * _STAGES[method] * n_sub * rows * lanes * 4
+    return store + transient <= 12 * 2 ** 20
 
 
 def _flatten_params_t(params: Dict[str, Any]) -> List[jax.Array]:

@@ -301,8 +301,15 @@ def make_losses(problem, domain, cfg: SolverConfig, u_apply: Callable,
         """Primal values + pointwise spatial gradients (constant across
         the adversary's n2 steps)."""
         if use_fused:
-            from xnode_wan_tpu.ops.pallas.xnode_train import fused_from_batch
-            return fused_from_batch(u_params, batch, problem, cfg)
+            from xnode_wan_tpu.ops.pallas.xnode_train import (
+                fused_fits, fused_from_batch)
+            d = batch.space.shape[-1]
+            F = d * (1 + 2 * cfg.fourier_features)
+            if fused_fits(u_params, batch.times.shape[1], d, F,
+                          cfg.n_sub, cfg.solver):
+                return fused_from_batch(u_params, batch, problem, cfg)
+            # Geometry too large for the kernel's scoped-VMEM stack at
+            # the minimum 128-path block (e.g. d=50): XLA path.
         return u_with_spatial_grad(u_apply, u_params, batch, problem, cfg,
                                    tangent_sharding=tangent_sharding)
 
