@@ -48,6 +48,10 @@ SCENARIOS = {
                             "--fine-tune-iters", "4000"], []),
     "wan_d5": ("configs/cube_pde.yaml", "Ex4_1_funcs", 0.01, 12000, 500,
                [], ['primal="wan"']),
+    # adaptive-solver parity: the torchdiffeq `solver` surface the
+    # reference exposes (src/model.py:103-106) trained end-to-end
+    "d5_dopri5": ("configs/cube_pde.yaml", "Ex4_1_funcs", 0.01, 1500, 200,
+                  [], ['solver="dopri5"', "ode_max_steps=16"]),
 }
 
 

@@ -139,6 +139,23 @@ def test_train_until_single_dispatch(problem, tmp_path):
     assert np.isfinite(hist["loss_u"]).all()
 
 
+def test_train_chunked_matches_per_iteration(problem, tmp_path):
+    # The default train() surface dispatches `train_chunk` iterations per
+    # device program (lax.scan over _outer_step); chunk=1 is the
+    # per-iteration dispatch path. Same seed must give the same
+    # trajectory: the scan body IS the per-iteration step function, so
+    # the two programs differ only in dispatch granularity.
+    cfg = SMALL.replace(iterations=12)
+    s1 = NODEWANSolver(cfg, problem, work_dir=str(tmp_path / "a"))
+    s1.train(report=False, chunk=1)
+    s2 = NODEWANSolver(cfg, problem, work_dir=str(tmp_path / "b"))
+    s2.train(report=False, chunk=4)
+    l2_a = json.load(open(tmp_path / "a" / "L2_NODE_2.json"))
+    l2_b = json.load(open(tmp_path / "b" / "L2_NODE_2.json"))
+    assert len(l2_a) == len(l2_b) == 12
+    np.testing.assert_allclose(l2_a, l2_b, rtol=1e-4)
+
+
 def test_dopri5_solver_trains(problem, tmp_path):
     # solver: dopri5 — the adaptive torchdiffeq method surface the
     # reference exposes (src/model.py:103-106). Error must clearly fall,
