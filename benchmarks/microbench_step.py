@@ -1,0 +1,98 @@
+"""Honest per-outer-step timing: chained ``lax.scan`` steps, synced once.
+
+The round-2 floor-subtracted single-dispatch harness
+(``profile_step.py``) is noisy at the single-digit-millisecond scale —
+the relay round-trip floor (~26-32 ms) swamps the quantity being
+measured. This harness times K *chained* outer iterations compiled as
+one ``lax.scan`` program (``NODEWANSolver._outer_chunk`` — the exact
+program ``train_chunked``/``bench.py`` run), forces completion with a
+``device_get`` of the stacked metrics (under the axon relay
+``block_until_ready`` returns before execution finishes — see
+docs/DESIGN.md §11), and divides: per-iteration time with one relay
+round-trip amortized over K.
+
+Every iteration draws fresh samples and updates real parameters through
+the scan carry, so XLA cannot constant-fold or hoist the gradient work
+(an earlier draft perturbed a dummy carry with ``* 0.0`` and XLA deleted
+the entire loss computation — numbers looked 3x too good).
+
+Usage:
+  python benchmarks/microbench_step.py [--config configs/cube_pde.yaml]
+      [--chunk 100] [--repeats 5] [--fused-off]
+
+Writes benchmarks/microbench_step.json unless --no-write.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+ROOT = os.path.dirname(HERE)
+sys.path.insert(0, ROOT)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default=os.path.join(ROOT,
+                                                     "configs/cube_pde.yaml"))
+    ap.add_argument("--problem", default="Ex4_1_funcs")
+    ap.add_argument("--chunk", type=int, default=100)
+    ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument("--fused-off", action="store_true",
+                    help="also time with fused_grad=false for comparison")
+    ap.add_argument("--no-write", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from xnode_wan_tpu.config import load_params
+    from xnode_wan_tpu.problems import load_problem
+    from xnode_wan_tpu.training import NODEWANSolver
+
+    def time_variant(fused: bool) -> dict:
+        cfg = load_params(args.config).replace(fused_grad=fused)
+        problem = load_problem(args.problem, dim=cfg.dim)
+        solver = NODEWANSolver(cfg, problem, work_dir="/tmp/microbench_run")
+        run = solver._outer_chunk(args.chunk)
+        # warm-up: compile + one full execution
+        t0 = time.time()
+        state, metrics = run(solver.state)
+        jax.device_get(metrics["loss_u"])
+        compile_s = time.time() - t0
+        times = []
+        for _ in range(args.repeats):
+            t0 = time.time()
+            state, metrics = run(state)
+            # device_get of a value depending on every iteration forces
+            # real completion through the relay
+            jax.device_get(metrics["loss_u"])
+            times.append(time.time() - t0)
+        best = min(times)
+        return {
+            "fused_grad": fused,
+            "chunk": args.chunk,
+            "repeats": args.repeats,
+            "compile_plus_first_run_s": round(compile_s, 2),
+            "wall_s_per_chunk": [round(t, 4) for t in times],
+            "ms_per_outer_step": round(1e3 * best / args.chunk, 3),
+        }
+
+    results = {"config": os.path.relpath(args.config, ROOT),
+               "device": str(jax.devices()[0]),
+               "fused": time_variant(True)}
+    if args.fused_off:
+        results["xla"] = time_variant(False)
+    print(json.dumps(results, indent=1))
+    if not args.no_write:
+        with open(os.path.join(HERE, "microbench_step.json"), "w") as fh:
+            json.dump(results, fh, indent=1)
+
+
+if __name__ == "__main__":
+    main()
