@@ -52,6 +52,10 @@ SCENARIOS = {
     # reference exposes (src/model.py:103-106) trained end-to-end
     "d5_dopri5": ("configs/cube_pde.yaml", "Ex4_1_funcs", 0.01, 1500, 200,
                   [], ['solver="dopri5"', "ode_max_steps=16"]),
+    # Polyak-averaged evaluation: smooths the late-trajectory adversarial
+    # + fresh-sample MC noise (beyond-reference capability)
+    "d5_ema": ("configs/cube_pde.yaml", "Ex4_1_funcs", 0.01, 600, 25,
+               [], ["ema_decay=0.95"]),
 }
 
 

@@ -156,6 +156,34 @@ def test_train_chunked_matches_per_iteration(problem, tmp_path):
     np.testing.assert_allclose(l2_a, l2_b, rtol=1e-4)
 
 
+def test_ema_polyak_averaging(problem, tmp_path):
+    # ema_decay > 0: metrics/serving use the Polyak average of the primal
+    # iterates; the average must train (error falls), differ from the raw
+    # iterates, and round-trip through checkpoints.
+    import jax
+    cfg = SMALL.replace(iterations=12, ema_decay=0.9)
+    s = NODEWANSolver(cfg, problem, work_dir=str(tmp_path))
+    m = s.train(report=False)
+    assert np.isfinite(m["rel_err"])
+    l2s = json.load(open(tmp_path / "L2_NODE_2.json"))
+    assert l2s[-1] < l2s[0]
+    raw = jax.tree.leaves(s.state.u_params)
+    ema = jax.tree.leaves(s._u_params_for_eval())
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(raw, ema))
+    fresh = NODEWANSolver(cfg, problem, work_dir=str(tmp_path))
+    fresh.load_checkpoint()
+    for a, b in zip(ema, jax.tree.leaves(fresh._u_params_for_eval())):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # composes with ensemble (vmapped member axis)
+    s2 = NODEWANSolver(cfg.replace(ensemble=2), problem,
+                       work_dir=str(tmp_path / "e"), devices=None)
+    m2 = s2.train(report=False, iterations=4)
+    assert np.isfinite(m2["rel_err"])
+    assert jax.tree.leaves(s2._u_params_for_eval())[0].ndim == \
+        jax.tree.leaves(s._u_params_for_eval())[0].ndim
+
+
 def test_dopri5_solver_trains(problem, tmp_path):
     # solver: dopri5 — the adaptive torchdiffeq method surface the
     # reference exposes (src/model.py:103-106). Error must clearly fall,

@@ -93,6 +93,12 @@ class SolverConfig:
                                 # src/dataset.py:306-310, src/loss.py:51-70);
                                 # default shares one cloud (the consistent
                                 # pointwise weak-form estimator)
+    ema_decay: float = 0.0      # >0: Polyak/EMA average of the primal
+                                # iterates (bias-corrected ramp); metrics,
+                                # stop criterion, best-checkpoints and
+                                # serving use the average. Smooths the
+                                # adversarial + fresh-sample MC noise of
+                                # the late trajectory at ~zero step cost
     ensemble: int = 1           # K>1: train K independent seeds in one
                                 # vmapped program, keep/report the best —
                                 # principled multi-start (replaces the
@@ -155,6 +161,8 @@ class SolverConfig:
             object.__setattr__(self, name, int(getattr(self, name)))
         if self.ensemble < 1:
             raise ValueError("ensemble must be >= 1")
+        if not 0.0 <= self.ema_decay < 1.0:
+            raise ValueError("ema_decay must be in [0, 1)")
         if isinstance(self.shape_param, list):
             object.__setattr__(self, "shape_param", tuple(self.shape_param))
         if self.u_layers < 1:

@@ -98,6 +98,9 @@ class TrainState:
     opt_v: Any
     key: jax.Array
     step: jax.Array
+    # Polyak/EMA average of the primal iterates (empty tuple when
+    # cfg.ema_decay == 0, so the disabled path carries no extra state).
+    u_ema: Any = ()
 
 
 class NODEWANSolver:
@@ -311,6 +314,10 @@ class NODEWANSolver:
                 opt_u=self._tx_u.init(u_params),
                 opt_v=self._tx_v.init(v_params),
                 key=key, step=jnp.zeros((), jnp.int32),
+                # jnp.copy: distinct buffers, or the donated step program
+                # would see the same buffer twice (u_params and u_ema)
+                u_ema=(jax.tree.map(jnp.copy, u_params)
+                       if cfg.ema_decay > 0 else ()),
             )
 
         if cfg.ensemble > 1:
@@ -374,11 +381,13 @@ class NODEWANSolver:
             lambda a: jax.lax.with_sharding_constraint(a, s), states)
 
     def _u_params_for_eval(self):
-        """Primal params of the (currently best) member for serving paths."""
+        """Primal params of the (currently best) member for serving paths
+        (the Polyak average when ``ema_decay > 0``)."""
+        params = (self.state.u_ema if self.cfg.ema_decay > 0
+                  else self.state.u_params)
         if self.cfg.ensemble > 1:
-            return jax.tree.map(lambda a: a[self._best_member],
-                                self.state.u_params)
-        return self.state.u_params
+            return jax.tree.map(lambda a: a[self._best_member], params)
+        return params
 
     def _sample(self, key):
         # Under ensemble vmap the per-member path-axis constraints below
@@ -424,6 +433,19 @@ class NODEWANSolver:
             updates, opt_u = self._tx_u.update(grads, opt_u, u_params)
             u_params = optax.apply_updates(u_params, updates)
 
+        # Polyak averaging of the primal iterates: the min-max dynamics plus
+        # fresh-sample Monte-Carlo batches leave the raw iterates
+        # oscillating near convergence; the running average is a strictly
+        # better point estimate at the cost of one tree-map per iteration.
+        # Bias-corrected ramp so early averages track the moving iterates.
+        u_ema = state.u_ema
+        if cfg.ema_decay > 0:
+            t = (state.step + 1).astype(batch.times.dtype)
+            decay = jnp.minimum(cfg.ema_decay, (1.0 + t) / (10.0 + t))
+            u_ema = jax.tree.map(
+                lambda e, p: e * decay + p * (1.0 - decay),
+                state.u_ema, u_params)
+
         uside = self._losses.u_side(u_params, batch)
         v_params, opt_v = state.v_params, state.opt_v
         aux_v = {"loss_v": jnp.zeros(())}
@@ -441,7 +463,8 @@ class NODEWANSolver:
         # Fresh-sample error evaluation (reference src/training.py:164-167).
         if self.problem.u_sol is not None:
             ebatch, _, _ = self._sample(k_eval)
-            u_vals = self._u_apply(u_params, ebatch, self.problem, cfg)
+            eval_params = u_ema if cfg.ema_decay > 0 else u_params
+            u_vals = self._u_apply(eval_params, ebatch, self.problem, cfg)
             sol = self.problem.u_sol(ebatch.x)
             vol = self.domain.V()
             metrics["L2"] = l_norm(u_vals, sol, ebatch.mask, vol, cfg.p)
@@ -449,7 +472,7 @@ class NODEWANSolver:
 
         new_state = TrainState(u_params=u_params, v_params=v_params,
                                opt_u=opt_u, opt_v=opt_v, key=key,
-                               step=state.step + 1)
+                               step=state.step + 1, u_ema=u_ema)
         return new_state, metrics
 
     def _outer_chunk(self, chunk: int):
