@@ -115,7 +115,43 @@ def measure_torch_reference_iter() -> float:
     return (time.time() - t0) / TORCH_SHIM_ITERS
 
 
+def _device_preflight(
+        timeout_s: int = int(os.environ.get("BENCH_PROBE_TIMEOUT", 120)),
+        retries: int = int(os.environ.get("BENCH_PROBE_RETRIES", 10)),
+        sleep_s: int = int(os.environ.get("BENCH_PROBE_SLEEP", 60))) -> None:
+    """Fail fast (with retries) instead of hanging when the TPU relay is down.
+
+    The axon tunnel occasionally hangs after killed processes; a bare
+    ``jax.devices()`` then blocks *forever* inside backend init, which
+    would make this benchmark silently record nothing. Probe in a
+    subprocess with a hard timeout, retrying for ~10 min (the tunnel
+    usually recovers), and emit a machine-readable error line if not.
+    """
+    import subprocess
+    last = "unknown"
+    for attempt in range(retries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=timeout_s)
+            if r.returncode == 0:
+                return
+            last = (r.stderr or b"").decode()[-300:]
+        except subprocess.TimeoutExpired:
+            last = f"backend init hang (> {timeout_s}s)"
+        print(f"[bench] device preflight {attempt + 1}/{retries} failed: "
+              f"{last}", file=sys.stderr)
+        time.sleep(sleep_s)
+    print(json.dumps({
+        "metric": "wall_clock_to_1pct_relL2_d5_cube", "value": None,
+        "unit": "s", "vs_baseline": None, "converged": False,
+        "error": f"TPU backend unavailable after {retries} probes: {last}",
+    }))
+    sys.exit(1)
+
+
 def main():
+    _device_preflight()
     import jax as _jax
     # persistent compile cache: repeated bench runs skip the ~3 min compile
     _jax.config.update("jax_compilation_cache_dir",
