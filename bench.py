@@ -141,7 +141,8 @@ def _device_preflight(
             last = f"backend init hang (> {timeout_s}s)"
         print(f"[bench] device preflight {attempt + 1}/{retries} failed: "
               f"{last}", file=sys.stderr)
-        time.sleep(sleep_s)
+        if attempt < retries - 1:
+            time.sleep(sleep_s)
     print(json.dumps({
         "metric": "wall_clock_to_1pct_relL2_d5_cube", "value": None,
         "unit": "s", "vs_baseline": None, "converged": False,

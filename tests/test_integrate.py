@@ -178,3 +178,31 @@ def test_gradients_flow_through_scan():
     g = jax.grad(loss)(jnp.ones((1, 1)))
     # d/dh0 [h0 * exp(-1)] = exp(-1)
     assert float(g[0, 0]) == pytest.approx(np.exp(-1.0), rel=1e-4)
+
+
+def test_adaptive_strict_flags_budget_exhaustion():
+    # torchdiffeq raises when max_num_steps is exceeded; our compiled
+    # analogue NaN-poisons the exhausted interval under strict=True so the
+    # tolerance violation is loud, and takes one forced (error-unchecked)
+    # full-span step under strict=False.
+    import jax.numpy as jnp
+    from xnode_wan_tpu.ops.integrate import integrate_adaptive
+
+    def stiff(t, h):  # fast-varying field: 1 attempt can't meet 1e-8
+        return -80.0 * h + jnp.sin(40.0 * t)[:, None]
+
+    h0 = jnp.ones((4, 3))
+    times = jnp.tile(jnp.linspace(0.2, 1.0, 5)[None, :], (4, 1))
+    t0 = jnp.zeros((4,))
+    mask = jnp.ones_like(times, dtype=bool)
+    soft = integrate_adaptive(stiff, h0, times, t0, mask,
+                              rtol=1e-8, atol=1e-10, max_steps=1)
+    hard = integrate_adaptive(stiff, h0, times, t0, mask,
+                              rtol=1e-8, atol=1e-10, max_steps=1,
+                              strict=True)
+    assert bool(jnp.isfinite(soft).all())
+    assert bool(jnp.isnan(hard).any())
+    ok = integrate_adaptive(stiff, h0, times, t0, mask,
+                            rtol=1e-3, atol=1e-4, max_steps=64,
+                            strict=True)
+    assert bool(jnp.isfinite(ok).all())

@@ -88,3 +88,22 @@ def test_same_weights_forward_agreement():
         np.testing.assert_allclose(ours, theirs, atol=1e-9, rtol=1e-9)
     finally:
         jax.config.update("jax_enable_x64", False)
+
+
+def test_yaml_exponent_strings_coerced():
+    # PyYAML 1.1 parses unsigned-exponent floats ("9.5e-1") as STRINGS;
+    # every float/int field must coerce them in __post_init__ instead of
+    # crashing later (validation TypeError or mid-run comparison).
+    from xnode_wan_tpu.config import SolverConfig
+
+    cfg = SolverConfig(dim=2, N_t=8, N_r="6.4e1", N_b=64, min_steps=4,
+                       shape_param=(-1.0, 1.0),
+                       alpha="1.0e4", ema_decay="9.0e-1",
+                       window_target_s="1.2e2", train_chunk="1e1",
+                       lr_decay="9.9e-1", grad_clip="0.0e0",
+                       u_scale="1.0e0", ode_rtol="1.0e-5")
+    assert cfg.ema_decay == 0.9 and isinstance(cfg.ema_decay, float)
+    assert cfg.window_target_s == 120.0
+    assert cfg.train_chunk == 10 and isinstance(cfg.train_chunk, int)
+    assert cfg.N_r == 64 and isinstance(cfg.N_r, int)
+    assert cfg.lr_decay == 0.99 and cfg.u_scale == 1.0

@@ -350,3 +350,56 @@ def test_drop_learning_rate_phase2(problem, tmp_path):
     assert any(c == 0 for c in counts)  # fresh optimizer step count
     m = solver.train(report=False, iterations=3)
     assert np.isfinite(m["loss_u"])
+
+
+def test_drop_learning_rate_with_schedule(problem, tmp_path):
+    # lr_decay < 1.0 bakes the schedule closure into the traced update
+    # (optax inject_hyperparams re-evaluates scheduled hyperparams from
+    # that closure each step; manual state writes have no effect), so
+    # drop_learning_rate must REBUILD the compiled programs — otherwise
+    # the drop is a silent no-op at the old base rate.
+    import jax
+    cfg = SMALL.replace(iterations=4, lr_decay=0.97)
+    s = NODEWANSolver(cfg, problem, work_dir=str(tmp_path))
+    s.train(report=False)
+    p0 = [np.asarray(a).copy() for a in jax.tree.leaves(s.state.u_params)]
+    s.drop_learning_rate(1e-7)
+    s.train(report=False, iterations=3)
+    p1 = [np.asarray(a) for a in jax.tree.leaves(s.state.u_params)]
+    # fresh Adam moments step at ~lr magnitude: with the bug params move
+    # at the old 1.5e-2 rate (>=1e-2 total drift); fixed, ~1e-7 per step
+    for a, b in zip(p0, p1):
+        np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_chunked_best_checkpoint_is_midchunk_best(problem, tmp_path):
+    # best_model_weights must hold the params of the iteration whose
+    # loss_u was the run's best — not the end-of-chunk state (train()
+    # replays host hooks only after the whole lax.scan chunk has run).
+    import jax
+    import jax.numpy as jnp
+    from xnode_wan_tpu.utils import checkpoint as ckpt
+
+    # deliberately over-large primal rate so loss_u oscillates and the
+    # best iteration is NOT the last one of the chunk (with this seed the
+    # loss goes 29856 -> 14628 -> 17362: argmin is the middle iteration)
+    cfg = SMALL.replace(iterations=3, u_rate=0.2)
+    s = NODEWANSolver(cfg, problem, work_dir=str(tmp_path / "ref"))
+    st = jax.tree.map(jnp.copy, s.state)
+    losses, params = [], []
+    for _ in range(3):
+        st, m = s._outer_step(st)
+        losses.append(float(m["loss_u"]))
+        params.append(jax.tree.map(lambda a: np.asarray(a).copy(),
+                                   st.u_params))
+    j = int(np.argmin(losses))
+    assert j != len(losses) - 1, "need an oscillating run for this test"
+
+    wd = tmp_path / "chunked"
+    s2 = NODEWANSolver(cfg, problem, work_dir=str(wd), devices=None)
+    s2.train(report=False, chunk=3)
+    best = ckpt.load(str(wd / "best_model_weights_NODE.msgpack"),
+                     s2._u_params_for_eval())
+    for a, b in zip(jax.tree.leaves(best), jax.tree.leaves(params[j])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

@@ -139,6 +139,11 @@ class SolverConfig:
                                 # attempts per sample interval (bounded
                                 # fori_loop, one fixed XLA program — see
                                 # ops/integrate.integrate_adaptive)
+    ode_strict: bool = False    # dopri5 budget exhaustion: True NaN-poisons
+                                # the interval (torchdiffeq's max_num_steps
+                                # error, loud under debug_nans); False takes
+                                # one forced error-unchecked full-span step
+                                # (graceful, tolerance no longer guaranteed)
     u_scale: float = 1.0        # model-level output scale: the primal net
                                 # internally sees seed/u_scale and returns
                                 # net*u_scale, keeping activations O(1) for
@@ -152,13 +157,17 @@ class SolverConfig:
         # Coerce numerics: PyYAML 1.1 parses exponent floats without a sign
         # ("1.0e8") as *strings*; the reference YAML uses plain ints anyway.
         for name in ("alpha", "u_rate", "v_rate", "T0", "T", "p",
-                     "ode_rtol", "ode_atol"):
+                     "ode_rtol", "ode_atol", "ema_decay", "window_target_s",
+                     "grad_clip", "lr_decay", "u_scale"):
             object.__setattr__(self, name, float(getattr(self, name)))
         for name in ("u_layers", "u_hidden_dim", "u_hidden_hidden_dim",
                      "v_layers", "v_hidden_dim", "n1", "n2", "min_steps",
                      "dim", "N_t", "N_r", "N_b", "iterations", "seed",
-                     "ensemble", "ode_max_steps"):
-            object.__setattr__(self, name, int(getattr(self, name)))
+                     "ensemble", "ode_max_steps", "train_chunk",
+                     "tangent_shards", "fourier_features",
+                     "v_fourier_features", "scan_unroll"):
+            # via float() first: int("6.4e1") raises, int(float(...)) works
+            object.__setattr__(self, name, int(float(getattr(self, name))))
         if self.ensemble < 1:
             raise ValueError("ensemble must be >= 1")
         if not 0.0 <= self.ema_decay < 1.0:

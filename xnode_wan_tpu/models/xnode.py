@@ -115,7 +115,8 @@ def apply_xnode(params: Dict[str, Any], batch: PathBatch, problem,
                                 batch.mask, rtol=cfg.ode_rtol,
                                 atol=cfg.ode_atol,
                                 max_steps=cfg.ode_max_steps,
-                                remat=cfg.adjoint or cfg.remat_scan)
+                                remat=cfg.adjoint or cfg.remat_scan,
+                                strict=cfg.ode_strict)
     else:
         hs = integrate(field, h0, batch.times, batch.t_start, batch.mask,
                        n_sub=cfg.n_sub, method=cfg.solver,

@@ -104,6 +104,7 @@ def integrate_adaptive(
     atol: float = 1e-6,
     max_steps: int = 16,
     remat: bool = False,
+    strict: bool = False,
 ) -> jax.Array:
     """Adaptive Dormand-Prince 5(4) along each path's sample grid.
 
@@ -142,12 +143,23 @@ def integrate_adaptive(
             return h, t, dt
 
         h, t, _ = jax.lax.fori_loop(0, max_steps, body, (h, t0v, dt))
-        # Any path that exhausted max_steps before reaching t1 finishes
-        # with one forced full-span step (graceful degradation; the
-        # integrator test asserts tolerances are met well before this).
+        # A path that exhausts ``max_steps`` before reaching t1 violates
+        # the requested tolerance. ``strict=True`` is the torchdiffeq
+        # analogue of its max_num_steps AssertionError: the interval is
+        # NaN-poisoned so the failure is loud (``debug_nans: true``
+        # pinpoints it host-side; a compiled program cannot raise).
+        # ``strict=False`` degrades gracefully with one forced,
+        # error-UNCHECKED full-span step — fine when exhaustion is a rare
+        # transient, but the result is no longer tolerance-guaranteed
+        # (raise ``ode_max_steps`` / loosen tolerances if this path is
+        # being hit; the integrator test asserts tolerances are met well
+        # before the budget on smooth fields).
         left = jnp.maximum(t1v - t, 0.0)
+        exhausted = (left > 1e-12)[:, None]
+        if strict:
+            return jnp.where(exhausted, jnp.nan, h)
         h_last, _ = _dopri5_step(field, t, h, left[:, None])
-        return jnp.where((left > 1e-12)[:, None], h_last, h)
+        return jnp.where(exhausted, h_last, h)
 
     def step(carry, inp):
         h, t_prev = carry

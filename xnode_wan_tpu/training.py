@@ -267,12 +267,16 @@ class NODEWANSolver:
         With a constant learning rate (``lr_decay == 1.0``, the default
         and the d=20 recipe) the new rate is written into the optimizer
         *state* (``inject_hyperparams``) and every compiled program is
-        reused — the two-phase recipe pays ONE compile. Only a schedule
-        change (``lr_decay``) still rebuilds, since the schedule function
-        itself is baked into the traced update.
+        reused — the two-phase recipe pays ONE compile. When a decay
+        *schedule* is involved on either side of the drop, the compiled
+        programs must be rebuilt: ``inject_hyperparams`` re-evaluates a
+        scheduled hyperparameter from the schedule closure baked in at
+        trace time on every update (manual state writes have no effect,
+        optax ``_inject.py``), so a cached program would silently keep
+        training at the old base rate.
         """
-        new_decay = self.cfg.lr_decay if lr_decay is None else lr_decay
-        schedule_changed = new_decay != self.cfg.lr_decay
+        old_decay = self.cfg.lr_decay
+        new_decay = old_decay if lr_decay is None else lr_decay
         self.cfg = self.cfg.replace(
             u_rate=self.cfg.u_rate * factor,
             v_rate=self.cfg.v_rate * factor,
@@ -288,7 +292,7 @@ class NODEWANSolver:
         self.state = self.state.replace(
             opt_u=set_u(init_u(self.state.u_params)),
             opt_v=set_v(init_v(self.state.v_params)))
-        if schedule_changed and self.cfg.lr_decay < 1.0:
+        if old_decay < 1.0 or new_decay < 1.0:
             self._outer = self._build_outer()
             self._outer_chunk_cache.clear()
             self._train_until_cache.clear()
@@ -298,7 +302,6 @@ class NODEWANSolver:
         and multi-start restarts). ``ensemble: K > 1`` stacks K independent
         member states along a leading axis (principled multi-start: all
         seeds train simultaneously in one vmapped program)."""
-        from xnode_wan_tpu.models.discriminator import init_discriminator
         cfg = self.cfg
 
         vdt = jnp.float64 if cfg.x64 else jnp.float32
@@ -475,6 +478,19 @@ class NODEWANSolver:
                                step=state.step + 1, u_ema=u_ema)
         return new_state, metrics
 
+    def _eval_params_of(self, state, metrics):
+        """Traced counterpart of :meth:`_u_params_for_eval`: the serving
+        params for this step's state (EMA- and ensemble-aware), usable
+        inside a compiled program. ``metrics['best_member']`` supplies the
+        member index under ensemble (a device scalar, not the host's
+        ``_best_member``, which is stale inside a chunk)."""
+        params = (state.u_ema if self.cfg.ema_decay > 0
+                  else state.u_params)
+        if self.cfg.ensemble > 1:
+            idx = metrics["best_member"].astype(jnp.int32)
+            params = jax.tree.map(lambda a: jnp.take(a, idx, axis=0), params)
+        return params
+
     def _outer_chunk(self, chunk: int):
         """``chunk`` outer iterations as one ``lax.scan``-compiled program.
 
@@ -482,14 +498,38 @@ class NODEWANSolver:
         only host involvement left; this removes even that for benchmark
         runs — one device program per ``chunk`` iterations, metrics
         stacked on device.
+
+        Also tracks the in-chunk best (by ``loss_u``, the reference's
+        best-checkpoint criterion, src/training.py:147-149) of the
+        *serving* params on device: the host replays metrics only after
+        the whole chunk has run, so saving ``self.state`` at that point
+        would silently serialize params up to ``chunk - 1`` iterations
+        past the iteration that triggered the save. Returns
+        ``(state, best_loss_u, best_params, stacked_metrics)`` where
+        ``best_params`` is only meaningful when ``best_loss_u`` improved
+        on the ``best_l`` operand.
         """
         if chunk not in self._outer_chunk_cache:
-            def body(state, _):
-                return self._step_fn(state)
+            def body(carry, _):
+                state, best_l, best_p = carry
+                state, m = self._step_fn(state)
+                better = m["loss_u"] < best_l
+                ep = self._eval_params_of(state, m)
+                best_p = jax.tree.map(
+                    lambda b, n: jnp.where(better, n, b), best_p, ep)
+                best_l = jnp.where(better, m["loss_u"], best_l)
+                return (state, best_l, best_p), m
 
             @functools.partial(jax.jit, donate_argnums=0)
-            def run(state):
-                return jax.lax.scan(body, state, None, length=chunk)
+            def run(state, best_l):
+                params = (state.u_ema if self.cfg.ema_decay > 0
+                          else state.u_params)
+                best_p0 = jax.tree.map(
+                    lambda a: jnp.zeros_like(a[0]) if self.cfg.ensemble > 1
+                    else jnp.zeros_like(a), params)
+                (state, best_l, best_p), stacked = jax.lax.scan(
+                    body, (state, best_l, best_p0), None, length=chunk)
+                return state, best_l, best_p, stacked
 
             self._outer_chunk_cache[chunk] = run
         return self._outer_chunk_cache[chunk]
@@ -502,8 +542,12 @@ class NODEWANSolver:
         last = {}
         done = 0
         while done < iterations:
-            self.state, stacked = run(self.state)
+            self.state, best_l, best_p, stacked = run(
+                self.state, jnp.asarray(self.best_l, jnp.float32))
             ms = jax.device_get(stacked)
+            if float(best_l) < self.best_l:
+                self.best_l = float(best_l)
+                self._save_best(best_p)
             done += chunk
             for i in range(chunk):
                 m = {k: float(v[i]) for k, v in ms.items()}
@@ -559,10 +603,19 @@ class NODEWANSolver:
         best_rel = float("inf")
         best_seen = (float("inf"), None)  # (window-end rel, u_params copy)
         chunks = {"loss_u": [], "L2": [], "rel_err": []}
+        # Window sizes whose program has already executed once: the first
+        # invocation of each freshly built program pays the (multi-minute
+        # at d=20) XLA compile, which must not count against the
+        # window_target_s execution budget — otherwise every halving
+        # triggers a fresh compile that itself overruns the budget and
+        # cascades the window down to the floor.
+        warm_windows = set()
         while done < max_iters and rel > rel_tol:
+            was_warm = window in warm_windows
             t0 = time.time()
             self.state, k, rel_dev, hist = get_run(window)(
                 self.state, jnp.asarray(rel_tol, jnp.float32))
+            warm_windows.add(window)
             k = int(k)
             rel = float(rel_dev)
             h = jax.device_get(hist)
@@ -581,7 +634,8 @@ class NODEWANSolver:
                 best_seen = (rel, jax.tree.map(jnp.copy,
                                                self._u_params_for_eval()))
             # full window overran the per-program budget: halve it
-            if (k == window and window > 8
+            # (only once this window's program is warm — see warm_windows)
+            if (k == window and window > 8 and was_warm
                     and time.time() - t0 > window_target_s):
                 window = max(8, window // 2)
             # Adversarial-stall self-healing: WAN training occasionally
@@ -597,8 +651,6 @@ class NODEWANSolver:
             stalled = (k == window and self.cfg.ensemble == 1
                        and _window_stalled(h["rel_err"][:k], best_rel))
             if stalled and stall_action == "reinit_v":
-                from xnode_wan_tpu.models.discriminator import \
-                    init_discriminator
                 key, kv = jax.random.split(self.state.key)
                 v_params = init_discriminator(
                     kv, self.cfg.dim, self.cfg.v_hidden_dim,
@@ -668,9 +720,11 @@ class NODEWANSolver:
             return True
         return False
 
-    def _save_best(self):
+    def _save_best(self, params=None):
+        if params is None:
+            params = self._u_params_for_eval()
         ckpt.save(os.path.join(self.work_dir, "best_model_weights_NODE.msgpack"),
-                  self._u_params_for_eval())
+                  params)
 
     def save_checkpoint(self, path: Optional[str] = None):
         path = path or os.path.join(self.work_dir, "checkpoint_NODE.msgpack")
@@ -742,8 +796,16 @@ class NODEWANSolver:
         done = 0
         while chunk > 1 and iterations - done >= chunk:
             run = self._outer_chunk(chunk)
-            self.state, stacked = run(self.state)
+            self.state, best_l, best_p, stacked = run(
+                self.state, jnp.asarray(self.best_l, jnp.float32))
             ms = jax.device_get(stacked)
+            # In-chunk best params were tracked on device (consume() below
+            # replays metrics only; self.state is already end-of-chunk).
+            # Updating best_l first keeps consume() from re-saving
+            # end-of-chunk params for a mid-chunk improvement.
+            if float(best_l) < self.best_l:
+                self.best_l = float(best_l)
+                self._save_best(best_p)
             for i in range(chunk):
                 if consume(done + i, {k: v[i] for k, v in ms.items()}):
                     self.logger.flush()
