@@ -403,3 +403,18 @@ def test_chunked_best_checkpoint_is_midchunk_best(problem, tmp_path):
     for a, b in zip(jax.tree.leaves(best), jax.tree.leaves(params[j])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_predict_public_serving(run, problem):
+    # public serving surface: batched + single-point (t, x) eval through
+    # the domain-aware jitted path, agreeing with the exact solution to
+    # the run's trained tolerance
+    solver, metrics, _ = run
+    pts = np.array([[0.5, 0.2, -0.3], [0.9, -0.7, 0.1]], dtype=np.float32)
+    out = solver.predict(pts)
+    assert out.shape == (2,)
+    single = solver.predict(pts[0])
+    np.testing.assert_allclose(np.asarray(single), np.asarray(out[0]))
+    sol = np.asarray(problem.u_sol(pts))
+    rel = np.abs(np.asarray(out) - sol) / (np.abs(sol) + 1e-6)
+    assert rel.max() < 1.0  # smoke-trained run: same order of magnitude

@@ -720,6 +720,24 @@ class NODEWANSolver:
             return True
         return False
 
+    def predict(self, pts) -> jax.Array:
+        """Serve the trained primal at arbitrary ``[..., (t, x)]`` points.
+
+        The public counterpart of the reference's direct-eval recipe
+        (reference ``README.md:32-35``): domain-aware — points not inside
+        the domain at their own time are seeded from the boundary value
+        ``g`` at their entry time. Uses the serving params (the best
+        member under ``ensemble``, the Polyak average under
+        ``ema_decay``) through the jitted eval path (the fused Pallas
+        kernel on TPU when ``use_pallas``).
+        """
+        pts = jnp.asarray(pts)
+        squeeze = pts.ndim == 1
+        if squeeze:
+            pts = pts[None, :]
+        out = self._predict(self._u_params_for_eval(), pts)
+        return out[0] if squeeze else out
+
     def _save_best(self, params=None):
         if params is None:
             params = self._u_params_for_eval()
