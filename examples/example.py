@@ -74,5 +74,5 @@ print(f"final relative L2 error: {metrics.get('rel_err', float('nan')):.4f}")
 # --- query the trained solution at arbitrary points ------------------------
 pts = jnp.array([[0.5] + [0.3] * args.dim,
                  [1.0] + [0.1] * args.dim])
-print("u(0.5, 0.3...):", solver._predict(solver.state.u_params, pts))
+print("u(0.5, 0.3...):", solver.predict(pts))
 print("exact:         ", u_sol(pts))
