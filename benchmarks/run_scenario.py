@@ -31,6 +31,11 @@ def main():
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args()
 
+    # Bounded backend probe (the axon relay occasionally hangs after
+    # killed processes; a bare import-and-init would block forever).
+    from bench import _device_preflight
+    _device_preflight()
+
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
