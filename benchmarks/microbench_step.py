@@ -59,16 +59,18 @@ def main():
         cfg = load_params(args.config).replace(fused_grad=fused)
         problem = load_problem(args.problem, dim=cfg.dim)
         solver = NODEWANSolver(cfg, problem, work_dir="/tmp/microbench_run")
+        import jax.numpy as jnp
         run = solver._outer_chunk(args.chunk)
+        inf = jnp.asarray(float("inf"), jnp.float32)
         # warm-up: compile + one full execution
         t0 = time.time()
-        state, metrics = run(solver.state)
+        state, _, _, metrics = run(solver.state, inf)
         jax.device_get(metrics["loss_u"])
         compile_s = time.time() - t0
         times = []
         for _ in range(args.repeats):
             t0 = time.time()
-            state, metrics = run(state)
+            state, _, _, metrics = run(state, inf)
             # device_get of a value depending on every iteration forces
             # real completion through the relay
             jax.device_get(metrics["loss_u"])
