@@ -44,6 +44,9 @@ def main():
     ap.add_argument("--fused-off", action="store_true",
                     help="also time with fused_grad=false for comparison")
     ap.add_argument("--no-write", action="store_true")
+    ap.add_argument("--scan-unroll", type=int, default=None,
+                    help="override cfg.scan_unroll (compile-time vs "
+                         "runtime tradeoff grid; 0 = full unroll)")
     args = ap.parse_args()
 
     import jax
@@ -57,6 +60,8 @@ def main():
 
     def time_variant(fused: bool) -> dict:
         cfg = load_params(args.config).replace(fused_grad=fused)
+        if args.scan_unroll is not None:
+            cfg = cfg.replace(scan_unroll=args.scan_unroll)
         problem = load_problem(args.problem, dim=cfg.dim)
         solver = NODEWANSolver(cfg, problem, work_dir="/tmp/microbench_run")
         import jax.numpy as jnp
