@@ -143,11 +143,20 @@ def _device_preflight(
               f"{last}", file=sys.stderr)
         if attempt < retries - 1:
             time.sleep(sleep_s)
-    print(json.dumps({
+    err = {
         "metric": "wall_clock_to_1pct_relL2_d5_cube", "value": None,
         "unit": "s", "vs_baseline": None, "converged": False,
         "error": f"TPU backend unavailable after {retries} probes: {last}",
-    }))
+    }
+    # Attach the last successful on-TPU measurement (committed artifact)
+    # so a relay outage at bench time doesn't erase the measured state —
+    # clearly labelled as prior, not fresh.
+    last_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "benchmarks", "bench_last.json")
+    if os.path.exists(last_path):
+        with open(last_path) as fh:
+            err["last_measured"] = json.load(fh)
+    print(json.dumps(err))
     sys.exit(1)
 
 
@@ -266,6 +275,25 @@ def main():
         **baseline_extra,
         "device": str(jax.devices()[0]),
     }
+    # Persist for the relay-down fallback (see _device_preflight): the
+    # committed copy documents the last successful on-TPU measurement.
+    # Only a converged TPU run qualifies — a CPU smoke or a truncated run
+    # must not overwrite the real artifact.
+    try:
+        if not (converged and "TPU" in str(jax.devices()[0])):
+            raise RuntimeError("not a converged TPU run; keeping prior")
+        import subprocess
+        rev = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                             capture_output=True, text=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__)))
+        stamp = {"measured_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                 "git_rev": rev.stdout.strip(), **result}
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "benchmarks", "bench_last.json"), "w") as fh:
+            json.dump(stamp, fh, indent=1)
+    except Exception as exc:
+        print(f"[bench] bench_last.json not written: {exc!r}",
+              file=sys.stderr)
     print(json.dumps(result))
 
 
