@@ -216,3 +216,13 @@ def test_samplers_are_jittable(cube, key):
     jitted = jax.jit(lambda k: cube.interior(k, 32))
     b = jitted(key)
     assert b.x.shape == (32, 10, 4)
+
+
+def test_moving_domains_reject_nonzero_T0():
+    # Radius laws / masks / V() of the moving domains are written against
+    # absolute time with the reference's implicit T0 = 0; a nonzero T0
+    # must be rejected, not silently corrupt geometry.
+    for name in ("NSphere_TCone", "NSphere_THourglass"):
+        with pytest.raises(ValueError, match="T0"):
+            make_domain(name, 1.0, 3, 0.3, 1.0, 10)
+        make_domain(name, 1.0, 3, 0.0, 1.0, 10)  # T0=0 still fine

@@ -173,3 +173,37 @@ def test_losses_finite_and_differentiable(setup):
                for g in jax.tree.leaves(gv))
     # adversary maximizes what the primal minimizes
     np.testing.assert_allclose(float(lv), -float(aux["int"]), rtol=1e-5)
+
+
+def test_s1_initial_value_respects_seed_switch():
+    # The integration-by-parts temporal term must use h(x) on T0-seeded
+    # rows but g(t_re, x) on g-seeded re-entry rows (hourglass segment B)
+    # — the same switch the model's own seeding applies.
+    import jax.numpy as jnp
+    from types import SimpleNamespace
+    from xnode_wan_tpu.ops.sampling import PathBatch, _assemble
+    from xnode_wan_tpu.ops.weak_form import interior_terms
+
+    problem = SimpleNamespace(
+        h=lambda X: jnp.full(X.shape[:-1], 2.0),
+        g=lambda X: 3.0 + X[..., 0],          # g(t, x) = 3 + t
+        c=lambda X, u: jnp.zeros(X.shape[:-1]),
+        f=lambda X: jnp.zeros(X.shape[:-1]),
+        b=None, a_kind="zero", a=None,
+    )
+    domain = SimpleNamespace(V=lambda: 1.0)
+    times = jnp.array([[0.0, 0.5, 1.0], [0.4, 0.7, 1.0]])
+    x = jnp.array([[0.1, 0.2], [0.1, 0.2]])
+    batch = PathBatch(x=_assemble(times, x),
+                      mask=jnp.ones((2, 3), dtype=bool),
+                      t_start=jnp.array([0.0, 0.4]),
+                      seed_from_h=jnp.array([True, False]))
+    u = jnp.ones((2, 3))
+    du = jnp.zeros((2, 3, 2))
+    v = jnp.ones((2, 3))
+    phi = jnp.ones((2, 3))
+    dphi = jnp.zeros((2, 3, 3))
+    current, _ = interior_terms(u, du, v, phi, dphi, batch, problem, domain)
+    # s2 = s3 = 0 (dphi, c, f zero); s1 row0: u*phi - h = 1 - 2 = -1;
+    # row1 (re-entry at t=0.4): 1 - g(0.4) = 1 - 3.4 = -2.4; mean = -1.7
+    np.testing.assert_allclose(float(current), -1.7, rtol=1e-6)

@@ -137,6 +137,22 @@ def _assemble(times_nl: jax.Array, x_spatial: jax.Array) -> jax.Array:
     return jnp.concatenate([times_nl[:, :, None], xs], axis=-1)
 
 
+def _anchored_paths(x: jax.Array, t_end: jax.Array, t_anchor: jax.Array,
+                    seed_from_h: jax.Array, n_t: int, dtype) -> "PathBatch":
+    """Boundary path batch: ``n_t`` samples from each point's anchor time
+    to its supervision time, spatial point frozen (shared by the cone
+    boundary and both hourglass boundary modes — one construction, so a
+    fix in one mode cannot silently miss the others)."""
+    frac = jnp.linspace(0.0, 1.0, n_t, dtype=dtype)
+    times = t_anchor[:, None] + frac[None, :] * (t_end - t_anchor)[:, None]
+    return PathBatch(
+        x=_assemble(times, x),
+        mask=jnp.ones((x.shape[0], n_t), dtype=bool),
+        t_start=t_anchor,
+        seed_from_h=seed_from_h,
+    )
+
+
 @dataclasses.dataclass(frozen=True)
 class Hypercube:
     """Time-independent box ``[bot, top]^d`` (reference ``src/dataset.py:232-290``)."""
@@ -259,6 +275,18 @@ class NSphereTCone:
     path_boundary: bool = True
     x64: bool = None  # None: follow the global flag (see _fdtype)
 
+    def __post_init__(self):
+        # The radius laws, exit-time inversions, masks and V() below are
+        # all written against absolute time with the reference's implicit
+        # T0 = 0 (src/dataset.py:162-229 likewise hardcodes 1 - t). A
+        # nonzero T0 would silently corrupt geometry (e.g. interior
+        # points sampled in the full-radius ball that the t >= T0 domain
+        # never attains) — reject it rather than degrade.
+        if float(self.T0) != 0.0:
+            raise ValueError(
+                f"{type(self).__name__} requires T0 == 0 (got {self.T0}): "
+                "its radius law is defined on absolute time from 0")
+
     @property
     def _dt(self):
         return _fdtype(self.x64)
@@ -319,14 +347,9 @@ class NSphereTCone:
             )
         # path from T0 to the exit point: final sample lies exactly on the
         # moving boundary, intermediate samples are interior history
-        frac = jnp.linspace(0.0, 1.0, self.N_t, dtype=self._dt)
-        times = self.T0 + frac[None, :] * (t[:, None] - self.T0)
-        return PathBatch(
-            x=_assemble(times, x),
-            mask=jnp.ones((n_b, self.N_t), dtype=bool),
-            t_start=jnp.full((n_b,), self.T0, dtype=self._dt),
-            seed_from_h=jnp.ones((n_b,), dtype=bool),
-        )
+        return _anchored_paths(x, t, jnp.full_like(t, self.T0),
+                               jnp.ones((n_b,), dtype=bool), self.N_t,
+                               self._dt)
 
     def func_w(self, x: jax.Array) -> jax.Array:
         """``r(1 - t) - |x|`` (reference ``src/dataset.py:216-218``)."""
@@ -370,6 +393,15 @@ class NSphereTHourglass:
     waist_cap: bool = False  # ablation: map ascending-branch boundary
     # points to their descending-branch exit time instead of supervising
     # g at the true late-time location via a re-entry path (see boundary())
+
+    def __post_init__(self):
+        # Same absolute-time assumption as NSphereTCone: mid, radius_at,
+        # the boundary inverse-CDF weights and V() all take T0 = 0
+        # (matching the reference's hardcoded laws, src/dataset.py:48-159).
+        if float(self.T0) != 0.0:
+            raise ValueError(
+                f"{type(self).__name__} requires T0 == 0 (got {self.T0}): "
+                "its radius law is defined on absolute time from 0")
 
     @property
     def r(self) -> float:
@@ -452,30 +484,27 @@ class NSphereTHourglass:
             # = R(span - t_b)) — supervise g at that earlier hit instead of
             # the true late-time location.
             t_hit = jnp.minimum(t, span - t)
-            frac = jnp.linspace(0.0, 1.0, self.N_t, dtype=self._dt)
-            times = self.T0 + frac[None, :] * (t_hit[:, None] - self.T0)
-            return PathBatch(
-                x=_assemble(times, x),
-                mask=jnp.ones((n_b, self.N_t), dtype=bool),
-                t_start=jnp.full((n_b,), self.T0, dtype=self._dt),
-                seed_from_h=jnp.ones((n_b,), dtype=bool),
-            )
+            return _anchored_paths(x, t_hit, jnp.full_like(t, self.T0),
+                                   jnp.ones((n_b,), dtype=bool), self.N_t,
+                                   self._dt)
         # Honest supervision at the sampled (t, x) itself. Descending-branch
         # points were inside for all earlier times -> from-T0 h-seeded path.
         # Ascending-branch points (t > mid, so |x| = r t > r*mid) were
         # OUTSIDE during (span - |x|/r, |x|/r) -> anchor the path at the
         # re-entry time |x|/r with the g-seed (same recipe as entry()).
+        # NOTE: an ascending-branch point on the boundary at time t has
+        # |x| = r t, so its re-entry anchor IS t and the "path" is
+        # deliberately zero-length: the model's value there is
+        # readout(lift(g(t, x))) by its own g-seeded re-entry semantics,
+        # and penalizing |u - g| at that point calibrates exactly that
+        # readout∘lift-on-g composition every re-entered interior segment
+        # depends on. This mirrors — not contradicts — how the interior
+        # evaluates re-entered points.
         ascending = t > self.mid
         t_anchor = jnp.where(ascending, jnp.linalg.norm(x, axis=-1) / self.r,
                              jnp.full_like(t, self.T0))
-        frac = jnp.linspace(0.0, 1.0, self.N_t, dtype=self._dt)
-        times = t_anchor[:, None] + frac[None, :] * (t - t_anchor)[:, None]
-        return PathBatch(
-            x=_assemble(times, x),
-            mask=jnp.ones((n_b, self.N_t), dtype=bool),
-            t_start=t_anchor,
-            seed_from_h=~ascending,
-        )
+        return _anchored_paths(x, t, t_anchor, ~ascending, self.N_t,
+                               self._dt)
 
     def func_w(self, x: jax.Array) -> jax.Array:
         """Piecewise ``R(t) - |x|`` (reference ``src/dataset.py:119-125``)."""

@@ -37,7 +37,7 @@ Deviations from the reference (all deliberate, flagged in SURVEY.md):
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, NamedTuple, Tuple
+from typing import Callable, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -89,11 +89,15 @@ def v_phi_and_grads(v_apply: Callable, v_params, pts: jax.Array,
     flat = pts.reshape(-1, c)
 
     def phi_point(p):
-        return v_apply(v_params, p) * func_w(p)
+        v_val = v_apply(v_params, p)
+        return v_val * func_w(p), v_val
 
-    phi_flat, dphi_flat = jax.vmap(jax.value_and_grad(phi_point))(flat)
-    v = v_apply(v_params, pts)
-    return v, phi_flat.reshape(n, l), dphi_flat.reshape(n, l, c)
+    # has_aux returns v from the SAME forward pass instead of re-running
+    # the discriminator over all N*L points a second time.
+    (phi_flat, v_flat), dphi_flat = jax.vmap(
+        jax.value_and_grad(phi_point, has_aux=True))(flat)
+    return (v_flat.reshape(n, l), phi_flat.reshape(n, l),
+            dphi_flat.reshape(n, l, c))
 
 
 def _endpoint_indices(mask: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
@@ -129,9 +133,15 @@ def interior_terms(u: jax.Array, du: jax.Array, v: jax.Array, phi: jax.Array,
     n_valid = jnp.maximum(row_valid.astype(dtype).sum(), 1.0)
 
     first_pts = batch.x[rows, first]                       # [N, C]
-    h_vals = problem.h(first_pts)
+    # Initial value at each path's first valid time: h(x) for paths that
+    # start at T0, but g(t_re, x) for g-seeded re-entry rows (hourglass
+    # segment B) — the model's own seeding switch (models/xnode.py).
+    # Substituting h there biases the integration-by-parts term by
+    # (h - g(t_re))·phi(first) on every re-entry path.
+    init_vals = jnp.where(batch.seed_from_h, problem.h(first_pts),
+                          problem.g(first_pts))
     tf = v if s1_raw_v else phi
-    s1 = (u[rows, last] * tf[rows, last] - h_vals * tf[rows, first])
+    s1 = (u[rows, last] * tf[rows, last] - init_vals * tf[rows, first])
     s1 = vol * jnp.sum(s1 * row_valid) / n_valid           # loss.py:64
 
     s2 = vol * jnp.sum(u * dphi[..., 0] * m) / big_m       # loss.py:65
@@ -221,9 +231,13 @@ def grouped_interior_objective(u, du, v, phi, dphi, batch: PathBatch,
     l_n = jnp.maximum(m.sum(axis=1), 1.0)        # per-path valid count
 
     first_pts = batch.x[rows, first]
-    h_vals = problem.h(first_pts)
+    # h for T0-seeded rows, g(t_re, x) for g-seeded re-entry rows (same
+    # switch as interior_terms / the model's own seeding)
+    init_vals = jnp.where(batch.seed_from_h, problem.h(first_pts),
+                          problem.g(first_pts))
     tf = v if s1_raw_v else phi
-    s1_n = (u[rows, last] * tf[rows, last] - h_vals * tf[rows, first]) * rv
+    s1_n = (u[rows, last] * tf[rows, last]
+            - init_vals * tf[rows, first]) * rv
 
     X = batch.x
     c_vals = problem.c(X, u)
