@@ -47,6 +47,11 @@ def main():
     ap.add_argument("--scan-unroll", type=int, default=None,
                     help="override cfg.scan_unroll (compile-time vs "
                          "runtime tradeoff grid; 0 = full unroll)")
+    ap.add_argument("--set", action="append", default=[], metavar="K=V",
+                    help="override any SolverConfig field, e.g. "
+                         "--set fused_chunk=true --set dim=50 "
+                         "(bool/int/float coerced from the field's "
+                         "current type)")
     args = ap.parse_args()
 
     import jax
@@ -58,10 +63,25 @@ def main():
     from xnode_wan_tpu.problems import load_problem
     from xnode_wan_tpu.training import NODEWANSolver
 
+    def coerce(cfg, kv: str):
+        k, v = kv.split("=", 1)
+        cur = getattr(cfg, k)
+        if isinstance(cur, bool):
+            val = v.lower() in ("1", "true", "yes")
+        elif isinstance(cur, int):
+            val = int(v)
+        elif isinstance(cur, float):
+            val = float(v)
+        else:
+            val = v
+        return cfg.replace(**{k: val})
+
     def time_variant(fused: bool) -> dict:
         cfg = load_params(args.config).replace(fused_grad=fused)
         if args.scan_unroll is not None:
             cfg = cfg.replace(scan_unroll=args.scan_unroll)
+        for kv in args.set:
+            cfg = coerce(cfg, kv)
         problem = load_problem(args.problem, dim=cfg.dim)
         solver = NODEWANSolver(cfg, problem, work_dir="/tmp/microbench_run")
         import jax.numpy as jnp

@@ -113,3 +113,56 @@ def test_fused_fits_vmem_gate():
     assert verdict(cube.replace(dim=20))              # d=20 ensemble: fused
     assert not verdict(cube.replace(dim=50))          # d=50: XLA fallback
     assert not verdict(load_params("configs/highdim_d20.yaml"))
+
+
+def test_fused_chunk_selection():
+    # Geometries the full-d kernel cannot fit must still get a divisor
+    # chunk size, so the fused path covers d=50 / wide d=20 via
+    # d_chunk-tangent calls instead of falling back to XLA.
+    from xnode_wan_tpu.config import load_params
+    from xnode_wan_tpu.ops.pallas.xnode_train import fused_chunk
+
+    def chunk(cfg):
+        params = init_xnode(jax.random.PRNGKey(0), cfg)
+        F = cfg.dim * (1 + 2 * cfg.fourier_features)
+        return fused_chunk(params, cfg.N_t, cfg.dim, F, cfg.n_sub,
+                           cfg.solver), cfg.dim
+
+    cube = load_params("configs/cube_pde.yaml")
+    dc, d = chunk(cube)
+    assert dc == d                                    # full kernel fits
+    dc, d = chunk(cube.replace(dim=50))
+    assert dc is not None and dc < d and d % dc == 0  # chunked, not XLA
+    dc, d = chunk(load_params("configs/highdim_d20.yaml"))
+    assert dc is not None and dc < d and d % dc == 0
+
+
+def test_chunked_matches_full_kernel():
+    # d_chunk calls must reproduce the single-call kernel exactly:
+    # same u (taken from chunk 0), same concatenated du, same parameter
+    # gradients (cotangents accumulate across chunks via shared weights).
+    from xnode_wan_tpu.ops.pallas.xnode_train import fused_from_batch as ffb
+
+    cfg = SolverConfig(dim=4, shape_param=(-1.0, 1.0), **BASE)
+    prob = load_problem("cube_pde", dim=4)
+    dom = make_domain("Hypercube", (-1.0, 1.0), 4, cfg.T0, cfg.T, cfg.N_t)
+    batch = dom.interior(jax.random.PRNGKey(0), 24)
+    params = init_xnode(jax.random.PRNGKey(1), cfg)
+
+    u0, du0 = ffb(params, batch, prob, cfg, interpret=True)
+    u1, du1 = ffb(params, batch, prob, cfg, interpret=True, d_chunk=2)
+    np.testing.assert_allclose(np.asarray(u0), np.asarray(u1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(du0), np.asarray(du1), atol=1e-6)
+
+    cu = jax.random.normal(jax.random.PRNGKey(2), u0.shape)
+    cd = jax.random.normal(jax.random.PRNGKey(3), du0.shape)
+
+    def loss(p, d_chunk):
+        u, du = ffb(p, batch, prob, cfg, interpret=True, d_chunk=d_chunk)
+        return jnp.sum(u * cu) + jnp.sum(du * cd)
+
+    g0 = jax.grad(loss)(params, None)
+    g1 = jax.grad(loss)(params, 2)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)

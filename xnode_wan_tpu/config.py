@@ -70,6 +70,11 @@ class SolverConfig:
                                 # kernel on the single-chip TPU training
                                 # path (ops/pallas/xnode_train.py); False
                                 # falls back to the XLA vmap(jvp) scan
+    fused_chunk: bool = False   # when the full-d fused kernel exceeds
+                                # scoped VMEM (d=50, wide d=20), run it in
+                                # d_chunk-tangent chunks (fused_chunk()
+                                # picks the largest divisor of d that
+                                # fits) instead of falling back to XLA
     grad_clip: float = 0.0      # optax global-norm clip (0 = off, as reference)
     lr_decay: float = 1.0       # exponential lr decay rate per 1000 steps
                                 # (1.0 = constant, as reference)

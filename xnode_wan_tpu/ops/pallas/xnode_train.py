@@ -367,30 +367,64 @@ def _pick_block(L: int, d: int, H: int) -> int:
 _STAGES = {"euler": 1, "midpoint": 2, "heun": 2, "rk4": 4}
 
 
-def fused_fits(params, L: int, d: int, F: int, n_sub: int,
-               method: str) -> bool:
+def _geom_fits(L: int, dc: int, H: int, F: int, width: int, n_field: int,
+               n_sub: int, method: str) -> bool:
     """Whether the backward kernel fits the ~16 MB scoped-VMEM stack at
-    the minimum block size.
+    the minimum block size when carrying ``dc`` tangent directions.
 
     Mosaic allocates the backward's interval-``vjp`` residuals plus the
-    explicit ``(L+1, H, B)``/``(L+1, H, d*B)`` state stores on the scoped
+    explicit ``(L+1, H, B)``/``(L+1, H, dc*B)`` state stores on the scoped
     VMEM stack (16 MB limit). The block's lane width cannot go below 128
-    paths (tile granularity), so at large ``d``/widths (e.g. d=50 cube,
-    d=20 wide-field sines) the footprint exceeds the limit and the
-    compile fails — this estimate, calibrated against Mosaic's reported
-    scoped allocations on those configs, gates the fused path off before
-    that happens so ``weak_form.py`` keeps the XLA ``vmap(jvp)`` path.
+    paths (tile granularity), so at large ``dc``/widths the footprint
+    exceeds the limit and the compile fails — this estimate, calibrated
+    against Mosaic's reported scoped allocations on the d=50 cube and
+    wide-field d=20 configs, gates those geometries off before that
+    happens.
     """
-    H = params["lift"][-1]["w"].shape[-1]
-    n_field = len(params["field"])
-    width = params["field"][0]["w"].shape[-1]
-    block = _pick_block(L, d, H)
-    lanes = block * (1 + d)
+    block = _pick_block(L, dc, H)
+    lanes = block * (1 + dc)
     store = (L + 1) * H * lanes * 4
     # residual rows of one interval vjp: field-MLP layer inputs + output
     rows = (F + H + 1) + width * (n_field - 1) + H
     transient = 1.6 * _STAGES[method] * n_sub * rows * lanes * 4
     return store + transient <= 12 * 2 ** 20
+
+
+def _geometry(params) -> Tuple[int, int, int]:
+    H = params["lift"][-1]["w"].shape[-1]
+    n_field = len(params["field"])
+    width = params["field"][0]["w"].shape[-1]
+    return H, n_field, width
+
+
+def fused_fits(params, L: int, d: int, F: int, n_sub: int,
+               method: str) -> bool:
+    """Whether the FULL-``d`` backward kernel fits scoped VMEM (see
+    :func:`_geom_fits`); when it doesn't, :func:`fused_chunk` may still
+    find a tangent-chunked geometry that does."""
+    H, n_field, width = _geometry(params)
+    return _geom_fits(L, d, H, F, width, n_field, n_sub, method)
+
+
+def fused_chunk(params, L: int, d: int, F: int, n_sub: int,
+                method: str):
+    """Largest divisor ``dc`` of ``d`` whose kernel geometry fits scoped
+    VMEM, or ``None`` if even one tangent direction per call does not.
+
+    ``dc == d`` means the single-call kernel fits. ``dc < d`` means the
+    caller should run ``d // dc`` kernel calls of ``dc`` tangent
+    directions each (:func:`u_du_fused` with ``d_chunk=dc``): the primal
+    is recomputed per chunk (cheap — it is one lane-block of the widened
+    batch) and the parameter cotangents accumulate across chunks through
+    the shared weights. Divisors only, so every call shares ONE compiled
+    geometry.
+    """
+    H, n_field, width = _geometry(params)
+    for dc in range(d, 0, -1):
+        if d % dc == 0 and _geom_fits(L, dc, H, F, width, n_field,
+                                      n_sub, method):
+            return dc
+    return None
 
 
 def _flatten_params_t(params: Dict[str, Any]) -> List[jax.Array]:
@@ -491,8 +525,8 @@ def _prep_intervals(times: jax.Array, mask: jax.Array, t_start: jax.Array,
 def u_du_fused(params, feats: jax.Array, dfeats: jax.Array,
                seed: jax.Array, dseed: jax.Array, times: jax.Array,
                mask: jax.Array, t_start: jax.Array, *, n_sub: int,
-               method: str, scale: float, interpret: bool = False
-               ) -> Tuple[jax.Array, jax.Array]:
+               method: str, scale: float, interpret: bool = False,
+               d_chunk=None) -> Tuple[jax.Array, jax.Array]:
     """Fused ``(u [N, L], grad_x u [N, L, d])`` with parameter VJP.
 
     ``feats [N, F]``: per-path field spatial input (raw coords or coords +
@@ -500,7 +534,32 @@ def u_du_fused(params, feats: jax.Array, dfeats: jax.Array,
     coordinates. ``seed [N]``, ``dseed [N, d]``: the (h/g) seed value and
     its spatial gradient, already divided by ``scale``. The output is
     multiplied by ``scale`` (models/xnode.py ``u_scale`` contract).
+
+    ``d_chunk``: carry only this many tangent directions per kernel call
+    (must divide ``d``; see :func:`fused_chunk`) — ``d // d_chunk``
+    sequential calls whose parameter cotangents accumulate through the
+    shared weights. ``u`` is taken from the first call (the chunks'
+    primals are the same function, so its cotangent must flow exactly
+    once); the geometry is identical across calls, so all share one
+    compile.
     """
+    d_all = dfeats.shape[1]
+    dc = d_all if not d_chunk else min(int(d_chunk), d_all)
+    if dc < d_all:
+        if d_all % dc != 0:
+            raise ValueError(f"d_chunk={dc} must divide d={d_all}")
+        u = None
+        dus = []
+        for lo in range(0, d_all, dc):
+            u_c, du_c = u_du_fused(
+                params, feats, dfeats[:, lo:lo + dc], seed,
+                dseed[:, lo:lo + dc], times, mask, t_start, n_sub=n_sub,
+                method=method, scale=scale, interpret=interpret)
+            if u is None:
+                u = u_c
+            dus.append(du_c)
+        return u, jnp.concatenate(dus, axis=-1)
+
     N, F = feats.shape
     L = times.shape[1]
     d = dfeats.shape[1]
@@ -534,8 +593,8 @@ def u_du_fused(params, feats: jax.Array, dfeats: jax.Array,
     return u, jnp.moveaxis(du, 2, 0)                              # [N, L, d]
 
 
-def fused_from_batch(params, batch, problem, cfg, interpret: bool = False
-                     ) -> Tuple[jax.Array, jax.Array]:
+def fused_from_batch(params, batch, problem, cfg, interpret: bool = False,
+                     d_chunk=None) -> Tuple[jax.Array, jax.Array]:
     """Drop-in for ``ops/weak_form.py::u_with_spatial_grad`` on the fused
     kernel: computes the seed (problem ``h``/``g`` data — user code, stays
     in JAX) and the feature/seed spatial tangents, then calls the kernel.
@@ -574,7 +633,7 @@ def fused_from_batch(params, batch, problem, cfg, interpret: bool = False
         params, feats_of(xs), jnp.moveaxis(dfeats, 0, 1),
         seed_of(xs), dseed.T, batch.times, batch.mask, batch.t_start,
         n_sub=cfg.n_sub, method=cfg.solver, scale=scale,
-        interpret=interpret)
+        interpret=interpret, d_chunk=d_chunk)
 
 
 def _tangent_lanes(a: jax.Array, block: int, n_pad: int) -> jax.Array:

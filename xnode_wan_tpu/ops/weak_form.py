@@ -316,12 +316,19 @@ def make_losses(problem, domain, cfg: SolverConfig, u_apply: Callable,
         the adversary's n2 steps)."""
         if use_fused:
             from xnode_wan_tpu.ops.pallas.xnode_train import (
-                fused_fits, fused_from_batch)
+                fused_chunk, fused_from_batch)
             d = batch.space.shape[-1]
             F = d * (1 + 2 * cfg.fourier_features)
-            if fused_fits(u_params, batch.times.shape[1], d, F,
-                          cfg.n_sub, cfg.solver):
+            dc = fused_chunk(u_params, batch.times.shape[1], d, F,
+                             cfg.n_sub, cfg.solver)
+            if dc == d:
                 return fused_from_batch(u_params, batch, problem, cfg)
+            if dc is not None and cfg.fused_chunk:
+                # Full-d geometry exceeds scoped VMEM (d=50, wide d=20):
+                # run the kernel in dc-tangent chunks (d//dc calls of one
+                # shared compiled geometry; opt-in, see config.fused_chunk).
+                return fused_from_batch(u_params, batch, problem, cfg,
+                                        d_chunk=dc)
             # Geometry too large for the kernel's scoped-VMEM stack at
             # the minimum 128-path block (e.g. d=50): XLA path.
         return u_with_spatial_grad(u_apply, u_params, batch, problem, cfg,
