@@ -65,23 +65,37 @@ def main():
 
     def coerce(cfg, kv: str):
         k, v = kv.split("=", 1)
+        if k == "fused_grad":
+            raise SystemExit("--set fused_grad is controlled per-arm by "
+                             "this harness; use --fused-off for the A/B")
         cur = getattr(cfg, k)
         if isinstance(cur, bool):
-            val = v.lower() in ("1", "true", "yes")
+            low = v.lower()
+            if low in ("1", "true", "yes"):
+                val = True
+            elif low in ("0", "false", "no"):
+                val = False
+            else:
+                raise SystemExit(f"--set {k}={v}: not a bool literal")
         elif isinstance(cur, int):
             val = int(v)
         elif isinstance(cur, float):
             val = float(v)
+        elif isinstance(cur, str):
+            val = v.strip('"')
         else:
-            val = v
+            raise SystemExit(f"--set {k}: field type "
+                             f"{type(cur).__name__} not supported here")
         return cfg.replace(**{k: val})
 
     def time_variant(fused: bool) -> dict:
-        cfg = load_params(args.config).replace(fused_grad=fused)
+        cfg = load_params(args.config)
         if args.scan_unroll is not None:
             cfg = cfg.replace(scan_unroll=args.scan_unroll)
         for kv in args.set:
             cfg = coerce(cfg, kv)
+        # per-arm selector LAST so --set cannot silently collapse the A/B
+        cfg = cfg.replace(fused_grad=fused)
         problem = load_problem(args.problem, dim=cfg.dim)
         solver = NODEWANSolver(cfg, problem, work_dir="/tmp/microbench_run")
         import jax.numpy as jnp
@@ -111,6 +125,9 @@ def main():
         }
 
     results = {"config": os.path.relpath(args.config, ROOT),
+               "problem": args.problem,
+               "overrides": list(args.set),
+               "scan_unroll": args.scan_unroll,
                "device": str(jax.devices()[0]),
                "fused": time_variant(True)}
     if args.fused_off:

@@ -137,6 +137,30 @@ def test_fused_chunk_selection():
     assert dc is not None and dc < d and d % dc == 0
 
 
+def test_fused_chunk_break_even_cap():
+    # The opt-in chunked path is bounded by fused_chunk_max (default 2,
+    # the measured break-even — benchmarks/microbench_d20wide_chunk.json
+    # ~parity at 2 chunks, microbench_d50_chunk.json loses at 5): a
+    # geometry needing more chunks must fall back to XLA even with
+    # fused_chunk: true, never silently decay toward dc=1.
+    from xnode_wan_tpu.config import load_params
+    from xnode_wan_tpu.ops.pallas.xnode_train import fused_chunk
+
+    def chunks_needed(cfg):
+        params = init_xnode(jax.random.PRNGKey(0), cfg)
+        F = cfg.dim * (1 + 2 * cfg.fourier_features)
+        dc = fused_chunk(params, cfg.N_t, cfg.dim, F, cfg.n_sub,
+                         cfg.solver)
+        return cfg.dim // dc
+
+    cube = load_params("configs/cube_pde.yaml").replace(fused_chunk=True)
+    wide = load_params("configs/highdim_d20.yaml").replace(fused_chunk=True)
+    # d=50 needs 5 chunks -> over the default cap -> gate rejects
+    assert chunks_needed(cube.replace(dim=50)) > cube.fused_chunk_max
+    # wide d=20 needs 2 -> within the cap -> gate accepts
+    assert chunks_needed(wide) <= wide.fused_chunk_max
+
+
 def test_chunked_matches_full_kernel():
     # d_chunk calls must reproduce the single-call kernel exactly:
     # same u (taken from chunk 0), same concatenated du, same parameter

@@ -75,6 +75,12 @@ class SolverConfig:
                                 # d_chunk-tangent chunks (fused_chunk()
                                 # picks the largest divisor of d that
                                 # fits) instead of falling back to XLA
+    fused_chunk_max: int = 2    # most chunks the opt-in above may split
+                                # into before falling back to XLA anyway:
+                                # measured break-even is ~2 chunks
+                                # (benchmarks/microbench_d20wide_chunk
+                                # .json ~parity at 2; _d50_ loses at 5) —
+                                # raise only to reproduce those A/B runs
     grad_clip: float = 0.0      # optax global-norm clip (0 = off, as reference)
     lr_decay: float = 1.0       # exponential lr decay rate per 1000 steps
                                 # (1.0 = constant, as reference)

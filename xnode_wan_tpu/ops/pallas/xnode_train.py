@@ -355,8 +355,11 @@ def _pick_block(L: int, d: int, H: int) -> int:
 
     The floor is 128: Pallas TPU requires lane-dim block sizes to be
     multiples of the 128-lane tile, so geometries whose footprint does
-    not fit even at B=128 cannot run fused at all — :func:`fused_fits`
-    detects those and the caller keeps the XLA path.
+    not fit even at B=128 cannot run the full-``d`` kernel —
+    :func:`fused_fits` detects those and the caller either keeps the XLA
+    path (default) or, with ``fused_chunk: true``, runs the kernel in
+    ``d_chunk``-tangent chunks (:func:`fused_chunk`) when the chunk
+    count stays within the measured break-even (``cfg.fused_chunk_max``).
     """
     budget = 4 * 2 ** 20
     per_path = (L + 1) * H * (1 + d) * 4

@@ -323,10 +323,16 @@ def make_losses(problem, domain, cfg: SolverConfig, u_apply: Callable,
                              cfg.n_sub, cfg.solver)
             if dc == d:
                 return fused_from_batch(u_params, batch, problem, cfg)
-            if dc is not None and cfg.fused_chunk:
+            if (dc is not None and cfg.fused_chunk
+                    and d // dc <= cfg.fused_chunk_max):
                 # Full-d geometry exceeds scoped VMEM (d=50, wide d=20):
                 # run the kernel in dc-tangent chunks (d//dc calls of one
                 # shared compiled geometry; opt-in, see config.fused_chunk).
+                # Bounded by fused_chunk_max: past ~2 chunks the per-chunk
+                # primal recompute + extra pallas_call launches measurably
+                # lose to the XLA fallback (62.6 vs 45.9 ms/step at d=50's
+                # 5 chunks, benchmarks/microbench_d50_chunk.json), so the
+                # opt-in never silently decays toward dc=1.
                 return fused_from_batch(u_params, batch, problem, cfg,
                                         d_chunk=dc)
             # Geometry too large for the kernel's scoped-VMEM stack at
