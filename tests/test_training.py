@@ -418,3 +418,16 @@ def test_predict_public_serving(run, problem):
     sol = np.asarray(problem.u_sol(pts))
     rel = np.abs(np.asarray(out) - sol) / (np.abs(sol) + 1e-6)
     assert rel.max() < 1.0  # smoke-trained run: same order of magnitude
+
+
+def test_compile_cache_config(problem, tmp_path):
+    # compile_cache="auto" (default) points the persistent XLA cache at
+    # $JAX_CACHE_DIR / ~/.cache; an explicit dir is used verbatim; ""
+    # leaves the jax config untouched. Enable-only process-global knob
+    # (same contract as x64), so only the explicit-dir case is asserted.
+    import jax
+
+    cache = str(tmp_path / "xla_cache")
+    cfg = SMALL.replace(compile_cache=cache)
+    NODEWANSolver(cfg, problem, work_dir=str(tmp_path))
+    assert jax.config.jax_compilation_cache_dir == cache

@@ -81,6 +81,12 @@ class SolverConfig:
                                 # (benchmarks/microbench_d20wide_chunk
                                 # .json ~parity at 2; _d50_ loses at 5) —
                                 # raise only to reproduce those A/B runs
+    compile_cache: str = "auto"  # persistent XLA compile cache: "auto" =
+                                # $JAX_CACHE_DIR or ~/.cache/xnode_wan_tpu,
+                                # "" = off, else an explicit directory.
+                                # Cold compile dominates short runs (~99 s
+                                # vs ~1 s of d=5 training, DESIGN §13);
+                                # the cache makes every rerun warm (~6 s)
     grad_clip: float = 0.0      # optax global-norm clip (0 = off, as reference)
     lr_decay: float = 1.0       # exponential lr decay rate per 1000 steps
                                 # (1.0 = constant, as reference)

@@ -136,6 +136,21 @@ class NODEWANSolver:
             # all-functional program (SURVEY §5 race-detection row).
             # Enable-only for the same process-global reason as x64.
             jax.config.update("jax_debug_nans", True)
+        if cfg.compile_cache:
+            # Persistent XLA compile cache for the user-facing surface
+            # (bench.py already did this privately): cold compile is ~99 s
+            # against ~1 s of d=5 training, so without the cache the CLI
+            # pays 100x its own training time on every invocation.
+            # Enable-only process-global config, same rationale as x64.
+            cache_dir = cfg.compile_cache
+            if cache_dir == "auto":
+                cache_dir = os.environ.get(
+                    "JAX_CACHE_DIR",
+                    os.path.join(os.path.expanduser("~"), ".cache",
+                                 "xnode_wan_tpu", "jax_cache"))
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
         if problem.dim is not None and problem.dim != cfg.dim:
             raise ValueError(
                 f"problem fixes dim={problem.dim} but config has dim={cfg.dim}")
