@@ -414,7 +414,10 @@ def test_predict_public_serving(run, problem):
     out = solver.predict(pts)
     assert out.shape == (2,)
     single = solver.predict(pts[0])
-    np.testing.assert_allclose(np.asarray(single), np.asarray(out[0]))
+    # batch-1 and batch-2 shapes compile to different XLA programs whose
+    # reassociated reductions can differ in the last ulp — not bitwise
+    np.testing.assert_allclose(np.asarray(single), np.asarray(out[0]),
+                               rtol=1e-5, atol=1e-6)
     sol = np.asarray(problem.u_sol(pts))
     rel = np.abs(np.asarray(out) - sol) / (np.abs(sol) + 1e-6)
     assert rel.max() < 1.0  # smoke-trained run: same order of magnitude
