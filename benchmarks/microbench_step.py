@@ -68,7 +68,14 @@ def main():
         if k == "fused_grad":
             raise SystemExit("--set fused_grad is controlled per-arm by "
                              "this harness; use --fused-off for the A/B")
-        cur = getattr(cfg, k)
+        try:
+            cur = getattr(cfg, k)
+        except AttributeError:
+            import dataclasses
+            names = ", ".join(sorted(
+                f.name for f in dataclasses.fields(cfg)))
+            raise SystemExit(
+                f"--set {k}: unknown config field. Valid fields: {names}")
         if isinstance(cur, bool):
             low = v.lower()
             if low in ("1", "true", "yes"):

@@ -119,6 +119,70 @@ def test_from_reference_constructor(tmp_path):
     assert solver.problem.a_kind == "full"
 
 
+def test_from_reference_custom_stop(tmp_path):
+    # A reference-style stop(solver, points, domain) callback passes
+    # through from_reference FAITHFULLY: training stops on the callback's
+    # OWN criterion (reference src/training.py:142-145), not on a
+    # hard-coded rel-err threshold. The callback mirrors the shipped
+    # configs/Ex4_1_funcs.py:36-37 pattern through the solver's
+    # reference-compat surface (u_net / func_u_sol / p / params).
+    import jax.numpy as jnp
+    import math
+    from xnode_wan_tpu.utils.metrics import l_norm_reference_api
+
+    def func_a(X, i, j):
+        return (jnp.ones if i == j else jnp.zeros)(X.shape[:-1])
+
+    def func_b(X, i):
+        return jnp.zeros(X.shape[:-1])
+
+    def func_c(X, u):
+        return -u
+
+    def func_u_sol(X):
+        return (2 * jnp.sin(math.pi / 2 * X[..., 1])
+                * jnp.cos(math.pi / 2 * X[..., 2]) * jnp.exp(-X[..., 0]))
+
+    def func_f(X):
+        sc = jnp.sin(math.pi / 2 * X[..., 1]) * jnp.cos(math.pi / 2 * X[..., 2])
+        return ((math.pi ** 2 - 2) * sc * jnp.exp(-X[..., 0])
+                - 4 * sc ** 2 * jnp.exp(-2 * X[..., 0]))
+
+    def func_h(X):
+        return (2 * jnp.sin(math.pi / 2 * X[..., 1])
+                * jnp.cos(math.pi / 2 * X[..., 2]))
+
+    seen_rel = []
+    seen_sample_means = []
+
+    def stop(self, points, domain):
+        args = (points, self.u_net, self.p, self.func_u_sol, domain.V(),
+                self.params["N_r"])
+        rel = (l_norm_reference_api(*args, error=True)
+               / l_norm_reference_api(*args, error=False))
+        seen_rel.append(float(rel))
+        seen_sample_means.append(float(points.x.mean()))
+        # a criterion of the CALLBACK's choosing: fire on the 3rd check
+        # with any finite rel err (deliberately loose for the smoke run)
+        return len(seen_rel) >= 3 and seen_rel[-1] < 10.0
+
+    params = SMALL.replace(iterations=20).to_dict()
+    solver = NODEWANSolver.from_reference(
+        params, func_a, func_b, func_c, func_h, func_f, func_u_sol,
+        device=None, path=str(tmp_path), stop=stop,
+        func_u_sol=func_u_sol, p=2)
+    solver.train(report=False)
+    # stopped on the callback's criterion at the 3rd check, well before 20
+    assert len(seen_rel) == 3
+    assert all(np.isfinite(r) for r in seen_rel)
+    # each check drew a FRESH interior sample (reference parity: the
+    # callback runs on the iteration's fresh points, src/training.py:142)
+    assert len(set(seen_sample_means)) == 3
+    # the old shim behavior is gone: no rel-err threshold was injected
+    assert solver.problem.stop_rel_err is None
+    assert os.path.exists(tmp_path / "best_model_weights_NODE.msgpack")
+
+
 def test_wan_baseline_trains(problem, tmp_path):
     cfg = SMALL.replace(primal="wan", iterations=30)
     solver = NODEWANSolver(cfg, problem, work_dir=str(tmp_path))
@@ -430,7 +494,18 @@ def test_compile_cache_config(problem, tmp_path):
     # (same contract as x64), so only the explicit-dir case is asserted.
     import jax
 
-    cache = str(tmp_path / "xla_cache")
-    cfg = SMALL.replace(compile_cache=cache)
-    NODEWANSolver(cfg, problem, work_dir=str(tmp_path))
-    assert jax.config.jax_compilation_cache_dir == cache
+    prior = jax.config.jax_compilation_cache_dir
+    try:
+        cache = str(tmp_path / "xla_cache")
+        cfg = SMALL.replace(compile_cache=cache)
+        NODEWANSolver(cfg, problem, work_dir=str(tmp_path))
+        assert jax.config.jax_compilation_cache_dir == cache
+        # 'auto' must NOT clobber a cache dir the user already configured
+        # directly (here: the explicit one just set).
+        NODEWANSolver(SMALL.replace(compile_cache="auto"), problem,
+                      work_dir=str(tmp_path))
+        assert jax.config.jax_compilation_cache_dir == cache
+    finally:
+        # process-global knob: restore so later compiles in the test
+        # session don't write their cache into this per-test tmp dir
+        jax.config.update("jax_compilation_cache_dir", prior)

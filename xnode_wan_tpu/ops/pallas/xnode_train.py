@@ -529,7 +529,8 @@ def u_du_fused(params, feats: jax.Array, dfeats: jax.Array,
                seed: jax.Array, dseed: jax.Array, times: jax.Array,
                mask: jax.Array, t_start: jax.Array, *, n_sub: int,
                method: str, scale: float, interpret: bool = False,
-               d_chunk=None) -> Tuple[jax.Array, jax.Array]:
+               d_chunk=None, mesh=None, data_axis: str = "data"
+               ) -> Tuple[jax.Array, jax.Array]:
     """Fused ``(u [N, L], grad_x u [N, L, d])`` with parameter VJP.
 
     ``feats [N, F]``: per-path field spatial input (raw coords or coords +
@@ -545,11 +546,22 @@ def u_du_fused(params, feats: jax.Array, dfeats: jax.Array,
     primals are the same function, so its cotangent must flow exactly
     once); the geometry is identical across calls, so all share one
     compile.
+
+    ``mesh``: run the kernel under ``jax.shard_map`` with the path/lane
+    axis sharded over ``mesh.shape[data_axis]`` devices — each device
+    executes the identical per-block kernel on its local paths
+    (the multi-chip fast path; replaces the round-3 ``mesh is None``
+    fallback to XLA). Weights are replicated in; the backward ``psum``s
+    the parameter cotangents over the data axis. Mesh axes other than
+    ``data_axis`` see replicated compute (correct, redundant) — callers
+    gate those layouts (``ops/weak_form.py``).
     """
     d_all = dfeats.shape[1]
-    dc = d_all if not d_chunk else min(int(d_chunk), d_all)
-    if dc < d_all:
-        if d_all % dc != 0:
+    dc = d_all if not d_chunk else int(d_chunk)
+    if dc != d_all:
+        # A stale/wrong chunk size should fail loudly, not silently run a
+        # different (possibly full-d, possibly VMEM-overflowing) geometry.
+        if dc > d_all or dc < 1 or d_all % dc != 0:
             raise ValueError(f"d_chunk={dc} must divide d={d_all}")
         u = None
         dus = []
@@ -557,7 +569,8 @@ def u_du_fused(params, feats: jax.Array, dfeats: jax.Array,
             u_c, du_c = u_du_fused(
                 params, feats, dfeats[:, lo:lo + dc], seed,
                 dseed[:, lo:lo + dc], times, mask, t_start, n_sub=n_sub,
-                method=method, scale=scale, interpret=interpret)
+                method=method, scale=scale, interpret=interpret,
+                mesh=mesh, data_axis=data_axis)
             if u is None:
                 u = u_c
             dus.append(du_c)
@@ -568,7 +581,9 @@ def u_du_fused(params, feats: jax.Array, dfeats: jax.Array,
     d = dfeats.shape[1]
     H = params["lift"][-1]["w"].shape[-1]
     block = _pick_block(L, d, H)
-    n_pad = -(-N // block) * block
+    n_shards = 1 if mesh is None else int(mesh.shape[data_axis])
+    # Every device must receive a whole number of kernel blocks.
+    n_pad = -(-N // (block * n_shards)) * (block * n_shards)
     n_lift, n_field = len(params["lift"]), len(params["field"])
 
     t0, dt = _prep_intervals(times.astype(jnp.float32),
@@ -589,7 +604,12 @@ def u_du_fused(params, feats: jax.Array, dfeats: jax.Array,
     flat = tuple(_flatten_params_t(params))
     meta = (n_lift, n_field, L, d, n_sub, method, F, H, n_pad, block,
             interpret)
-    u_raw, du_raw = _fused_core(flat, t0T, dtT, xpT, xtT, spT, stT, meta)
+    if mesh is None:
+        u_raw, du_raw = _fused_core(flat, t0T, dtT, xpT, xtT, spT, stT,
+                                    meta)
+    else:
+        u_raw, du_raw = _fused_core_sharded(
+            flat, t0T, dtT, xpT, xtT, spT, stT, meta + (mesh, data_axis))
 
     u = u_raw[:, :N].T * scale                                    # [N, L]
     du = _tangent_unlanes(du_raw, block, d)[:, :, :N] * scale     # [L, d, N]

@@ -144,11 +144,18 @@ class NODEWANSolver:
             # Enable-only process-global config, same rationale as x64.
             cache_dir = cfg.compile_cache
             if cache_dir == "auto":
-                cache_dir = os.environ.get(
-                    "JAX_CACHE_DIR",
-                    os.path.join(os.path.expanduser("~"), ".cache",
-                                 "xnode_wan_tpu", "jax_cache"))
-            jax.config.update("jax_compilation_cache_dir", cache_dir)
+                if jax.config.jax_compilation_cache_dir:
+                    # The user already configured a cache dir directly via
+                    # jax.config / JAX flags — the default must not
+                    # clobber an explicit setting.
+                    cache_dir = None
+                else:
+                    cache_dir = os.environ.get(
+                        "JAX_CACHE_DIR",
+                        os.path.join(os.path.expanduser("~"), ".cache",
+                                     "xnode_wan_tpu", "jax_cache"))
+            if cache_dir is not None:
+                jax.config.update("jax_compilation_cache_dir", cache_dir)
             jax.config.update(
                 "jax_persistent_cache_min_compile_time_secs", 1.0)
         if problem.dim is not None and problem.dim != cfg.dim:
@@ -882,6 +889,54 @@ class NODEWANSolver:
             print(f"plotting failed: {exc!r}")
 
     # ------------------------------------------------------------------
+    # Reference-compat solver surface: the attributes a reference-style
+    # ``stop(solver, points, domain)`` callback reads off the solver object
+    # (``configs/Ex4_1_funcs.py:36-37`` uses ``self.u_net``,
+    # ``self.func_u_sol``, ``self.p``, ``self.params['N_r']``).
+    @property
+    def u_net(self):
+        """Callable ``u_net(batch) -> u values [N, L]`` at the current
+        serving params (best member / EMA average)."""
+        params = self._u_params_for_eval()
+        return lambda b: self._u_apply(params, b, self.problem, self.cfg)
+
+    @property
+    def func_u_sol(self):
+        return self.problem.u_sol
+
+    @property
+    def p(self) -> float:
+        return self.cfg.p
+
+    @property
+    def params(self) -> dict:
+        import dataclasses
+        return dataclasses.asdict(self.cfg)
+
+    @staticmethod
+    def _adapt_reference_stop(ref_stop: Callable) -> Callable:
+        """Adapt a reference-style ``stop(solver, points, domain)`` callback
+        to the metrics hook ``stop(solver, metrics)``.
+
+        The reference executes the user callback every iteration on the
+        fresh interior sample (``src/training.py:142``); here each check
+        draws a fresh interior batch (a new fold of the run key per call)
+        and passes the solver and domain handles through, so an arbitrary
+        user criterion — not just the shipped rel-err-below-1% — decides
+        the early stop.
+        """
+        import itertools
+        counter = itertools.count()
+
+        def adapted(solver, metrics):
+            del metrics
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(solver.cfg.seed ^ 0x5709), next(counter))
+            points = solver.domain.interior(key, solver.cfg.N_r)
+            return bool(ref_stop(solver, points, solver.domain))
+
+        return adapted
+
     @classmethod
     def from_reference(cls, params, func_a, func_b, func_c, func_h, func_f,
                        func_g, device=None, path: str = "./", stop=None,
@@ -889,8 +944,10 @@ class NODEWANSolver:
         """Reference-signature constructor (``src/training.py:65-79``).
 
         ``device`` is accepted and ignored (placement is mesh-driven);
-        ``stop`` may be ``None`` or a reference-style callable — it is
-        adapted to the metrics-based hook.
+        ``stop`` may be ``None`` or a reference-style callable
+        ``stop(solver, points, domain)`` — it is adapted faithfully via
+        :meth:`_adapt_reference_stop` (checked every iteration on a fresh
+        interior sample), not collapsed to a fixed rel-err threshold.
         """
         del device
         raw = dict(params)
@@ -898,6 +955,6 @@ class NODEWANSolver:
         cfg = SolverConfig.from_dict(raw)
         problem = from_reference_callables(
             func_a, func_b, func_c, func_h, func_f, func_g,
-            dim=cfg.dim, func_u_sol=func_u_sol,
-            stop_rel_err=0.01 if stop is not None else None)
-        return cls(cfg, problem, work_dir=path)
+            dim=cfg.dim, func_u_sol=func_u_sol)
+        stop_cb = cls._adapt_reference_stop(stop) if stop is not None else None
+        return cls(cfg, problem, work_dir=path, stop=stop_cb)
