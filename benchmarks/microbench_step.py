@@ -19,6 +19,8 @@ the entire loss computation — numbers looked 3x too good).
 Usage:
   python benchmarks/microbench_step.py [--config configs/cube_pde.yaml]
       [--chunk 100] [--repeats 5] [--fused-off]
+      [--fused-bf16]                  # bf16-matmul A/B (DESIGN.md §14)
+      [--set fused_v=true]            # adversary-kernel A/B arm
 
 Writes benchmarks/microbench_step.json unless --no-write.
 """
@@ -52,6 +54,10 @@ def main():
                          "--set fused_chunk=true --set dim=50 "
                          "(bool/int/float coerced from the field's "
                          "current type)")
+    ap.add_argument("--fused-bf16", action="store_true",
+                    help="A/B: run the fused kernels' matmuls in bf16 "
+                         "with f32 accumulation (sets "
+                         "xnode_train.MM_DTYPE before tracing)")
     args = ap.parse_args()
 
     import jax
@@ -62,6 +68,11 @@ def main():
     from xnode_wan_tpu.config import load_params
     from xnode_wan_tpu.problems import load_problem
     from xnode_wan_tpu.training import NODEWANSolver
+
+    if args.fused_bf16:
+        import jax.numpy as jnp
+        from xnode_wan_tpu.ops.pallas import xnode_train
+        xnode_train.MM_DTYPE = jnp.bfloat16
 
     def coerce(cfg, kv: str):
         k, v = kv.split("=", 1)

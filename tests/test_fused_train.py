@@ -91,6 +91,73 @@ def test_fourier_features_and_u_scale():
              "Hypercube", (-1.0, 1.0))
 
 
+def test_forward_only_kernel_matches_scan():
+    # the tangentless metric/serving forward (u_forward_fused) matches
+    # apply_xnode on a masked moving-domain batch with Fourier features
+    # and u_scale, both unsharded and under the 8-device mesh
+    from xnode_wan_tpu.ops.pallas.xnode_train import u_forward_fused
+    from xnode_wan_tpu.parallel.mesh import make_mesh
+
+    with jax.default_matmul_precision("highest"):
+        cfg = SolverConfig(dim=3, shape_param=1.0, domain="NSphere_TCone",
+                           fourier_features=1, u_scale=2.0, **BASE)
+        prob = load_problem("Ex4_1_funcs", dim=3)
+        dom = make_domain("NSphere_TCone", 1.0, 3, cfg.T0, cfg.T, cfg.N_t)
+        batch = dom.interior(jax.random.PRNGKey(0), 24)
+        params = init_xnode(jax.random.PRNGKey(1), cfg)
+        u0 = apply_xnode(params, batch, prob, cfg)
+        m = batch.mask.astype(jnp.float32)
+        u1 = u_forward_fused(params, batch, prob, cfg, interpret=True)
+        np.testing.assert_allclose(np.asarray(u0 * m), np.asarray(u1 * m),
+                                   atol=5e-5)
+        u2 = u_forward_fused(params, batch, prob, cfg, interpret=True,
+                             mesh=make_mesh(jax.devices()))
+        np.testing.assert_allclose(np.asarray(u1), np.asarray(u2),
+                                   atol=1e-6)
+
+
+def test_sharded_kernel_matches_unsharded():
+    # Multi-chip fast path: the fused kernel under jax.shard_map on the
+    # 8-device mesh must reproduce the unsharded kernel's values AND
+    # parameter gradients (paths shard over 'data', weights replicate,
+    # parameter cotangents psum) — the round-3 'mesh is None' XLA
+    # fallback is gone (ops/weak_form.py gate).
+    with jax.default_matmul_precision("highest"):
+        _sharded_kernel_matches_unsharded()
+
+
+def _sharded_kernel_matches_unsharded():
+    from xnode_wan_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(jax.devices())
+    cfg = SolverConfig(dim=3, shape_param=(-1.0, 1.0), **BASE)
+    prob = load_problem("cube_pde", dim=3)
+    dom = make_domain("Hypercube", (-1.0, 1.0), 3, cfg.T0, cfg.T, cfg.N_t)
+    batch = dom.interior(jax.random.PRNGKey(0), 24)
+    params = init_xnode(jax.random.PRNGKey(1), cfg)
+
+    u0, du0 = fused_from_batch(params, batch, prob, cfg, interpret=True)
+    u1, du1 = fused_from_batch(params, batch, prob, cfg, interpret=True,
+                               mesh=mesh)
+    np.testing.assert_allclose(np.asarray(u0), np.asarray(u1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(du0), np.asarray(du1), atol=1e-6)
+
+    cu = jax.random.normal(jax.random.PRNGKey(2), u0.shape)
+    cd = jax.random.normal(jax.random.PRNGKey(3), du0.shape)
+
+    def loss(p, mesh):
+        u, du = fused_from_batch(p, batch, prob, cfg, interpret=True,
+                                 mesh=mesh)
+        return jnp.sum(u * cu) + jnp.sum(du * cd) + jnp.sum(
+            jnp.tanh(u) * du[..., 0])
+
+    g0 = jax.grad(loss)(params, None)
+    g1 = jax.jit(jax.grad(loss), static_argnums=1)(params, mesh)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+
 def test_solver_trains_with_fused_flag_off_matches_api(tmp_path):
     # fused_grad=False must keep the XLA path selectable (fallback contract)
     cfg = SolverConfig(dim=2, shape_param=(-1.0, 1.0), iterations=2,

@@ -27,9 +27,14 @@ def test_linear_ode_exact_decay():
 
 
 # n_sub pairs chosen so the finer error stays above the f32 roundoff floor.
+# The Adams methods restart their history each interval with an order
+# ramp (1 -> 4), so the observed GLOBAL order is startup-limited: the
+# single order-1 (resp. order-2 corrected) first substep dominates —
+# measured rates ~2.0 / ~3.0 on this problem.
 @pytest.mark.parametrize("method,order,subs", [
     ("euler", 1, (8, 16)), ("midpoint", 2, (8, 16)),
-    ("heun", 2, (8, 16)), ("rk4", 4, (2, 4))])
+    ("heun", 2, (8, 16)), ("rk4", 4, (2, 4)),
+    ("explicit_adams", 2.0, (16, 32)), ("fixed_adams", 3.0, (8, 16))])
 def test_convergence_order(method, order, subs):
     field = lambda t, h: -h
     h0 = jnp.ones((1, 1))
@@ -108,6 +113,31 @@ def test_remat_matches_plain():
     a = integrate(field, h0, times, jnp.zeros(3), mask, n_sub=2)
     b = integrate(field, h0, times, jnp.zeros(3), mask, n_sub=2, remat=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+@pytest.mark.parametrize("method,tol", [
+    ("bosh3", 5e-4), ("adaptive_heun", 2e-3)])
+def test_adaptive_method_surface(method, tol):
+    # the remaining torchdiffeq adaptive names (src/model.py:103-106):
+    # real embedded pairs, not aliases — each meets its requested
+    # tolerance on the decay problem
+    field = lambda t, h: -h
+    h0 = jnp.ones((3, 2))
+    times = _grid(3, 7)
+    mask = jnp.ones((3, 7), bool)
+    hs = integrate_adaptive(field, h0, times, jnp.zeros(3), mask,
+                            rtol=1e-4, atol=1e-5, max_steps=32,
+                            method=method)
+    expect = np.broadcast_to(np.exp(-np.asarray(times))[:, :, None],
+                             (3, 7, 2))
+    np.testing.assert_allclose(np.asarray(hs), expect, atol=tol)
+
+
+def test_adams_alias_rejected():
+    # torchdiffeq's adaptive-order 'adams' is NOT silently substituted
+    from xnode_wan_tpu.config import SolverConfig
+    with pytest.raises(ValueError, match="fixed_adams"):
+        SolverConfig(dim=2, solver="adams")
 
 
 def test_dopri5_exact_decay():

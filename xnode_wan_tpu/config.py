@@ -40,10 +40,12 @@ class SolverConfig:
     min_steps: int = 5          # min ODE steps over [T0, T] (dataset.py:13)
     adjoint: bool = False       # reference's odeint_adjoint flag (alias for
                                 # remat_scan here; remat is on by default)
-    solver: str = "midpoint"    # euler|midpoint|heun|rk4 (fixed-step) or
-                                # dopri5 (adaptive embedded RK5(4) — the
-                                # torchdiffeq method surface the reference
-                                # passes through, src/model.py:103-106)
+    solver: str = "midpoint"    # fixed-step: euler|midpoint|heun|rk4|
+                                # explicit_adams (AB4)|fixed_adams (ABM4
+                                # PECE); adaptive embedded RK: dopri5|
+                                # bosh3|adaptive_heun — the torchdiffeq
+                                # method surface the reference passes
+                                # through, src/model.py:103-106
 
     # --- "setup" block (reference src/training.py:82) ---
     dim: int = 5
@@ -97,6 +99,14 @@ class SolverConfig:
                                 # branch boundary points at their earlier
                                 # descending-branch exit (round-1 behavior)
                                 # instead of the true late-time location
+    fused_v: bool = False       # opt-in adversary-side fused Pallas kernel
+                                # (ops/pallas/disc_train.py). Measured
+                                # SLOWER than the XLA vmap(value_and_grad)
+                                # path on the d=5 hot step (6.56 vs
+                                # 6.13 ms — kernel-launch overhead beats
+                                # the fusion gain at 50-wide MLP shapes,
+                                # docs/DESIGN.md §14); kept for large-n2 /
+                                # wide-adversary recipes.
     group_loss: bool = True     # one log-ratio channel per exit-time path
                                 # group (reference src/training.py:128-137);
                                 # identical to the pooled estimator on the
@@ -195,8 +205,19 @@ class SolverConfig:
             # The reference's num_layers==0 branch builds a Linear(in, in-1)
             # with mismatched dims (model.py:138) and cannot run; reject it.
             raise ValueError("u_layers must be >= 1")
-        if self.solver not in ("euler", "midpoint", "heun", "rk4", "dopri5"):
-            raise ValueError(f"unknown solver {self.solver!r}")
+        valid = ("euler", "midpoint", "heun", "rk4", "explicit_adams",
+                 "fixed_adams", "dopri5", "bosh3", "adaptive_heun")
+        if self.solver not in valid:
+            hint = ""
+            if self.solver in ("adams", "implicit_adams"):
+                # torchdiffeq's adaptive-order variable-coefficient Adams;
+                # substituting a different scheme silently would be wrong.
+                hint = (" (the adaptive-order 'adams' solver is not "
+                        "implemented; 'fixed_adams' is the fixed-step "
+                        "predictor-corrector Adams, 'dopri5' the adaptive "
+                        "default)")
+            raise ValueError(
+                f"unknown solver {self.solver!r}; valid: {valid}{hint}")
         if self.ode_max_steps < 1:
             raise ValueError("ode_max_steps must be >= 1")
         if self.primal not in ("xnode", "wan"):

@@ -28,7 +28,8 @@ import jax.numpy as jnp
 
 from xnode_wan_tpu.config import SolverConfig
 from xnode_wan_tpu.models.layers import linear, linear_init, mlp_init
-from xnode_wan_tpu.ops.integrate import integrate, integrate_adaptive
+from xnode_wan_tpu.ops.integrate import (ADAPTIVE_METHODS, integrate,
+                                         integrate_adaptive)
 from xnode_wan_tpu.ops.sampling import PathBatch
 
 
@@ -108,15 +109,17 @@ def apply_xnode(params: Dict[str, Any], batch: PathBatch, problem,
     def field(t, h):
         return field_apply(params, xs_f, t, h)
 
-    if cfg.solver == "dopri5":
-        # Adaptive embedded RK5(4) — the torchdiffeq method surface the
-        # reference passes through (src/model.py:103-106).
+    if cfg.solver in ADAPTIVE_METHODS:
+        # Adaptive embedded RK (dopri5/bosh3/adaptive_heun) — the
+        # torchdiffeq method surface the reference passes through
+        # (src/model.py:103-106).
         hs = integrate_adaptive(field, h0, batch.times, batch.t_start,
                                 batch.mask, rtol=cfg.ode_rtol,
                                 atol=cfg.ode_atol,
                                 max_steps=cfg.ode_max_steps,
                                 remat=cfg.adjoint or cfg.remat_scan,
-                                strict=cfg.ode_strict)
+                                strict=cfg.ode_strict,
+                                method=cfg.solver)
     else:
         hs = integrate(field, h0, batch.times, batch.t_start, batch.mask,
                        n_sub=cfg.n_sub, method=cfg.solver,
@@ -148,15 +151,27 @@ def evaluate_points(params: Dict[str, Any], pts: jax.Array, problem,
         t_entry = jnp.full((pts.shape[0],), cfg.T0, dtype=pts.dtype)
         seed_from_h = jnp.ones((pts.shape[0],), dtype=bool)
     scale = cfg.u_scale if cfg.u_scale > 0 else 1.0
-    if (cfg.use_pallas and not cfg.x64 and cfg.fourier_features == 0
-            and cfg.solver != "dopri5" and jax.default_backend() == "tpu"):
+    # Fused serving kernel: covers Fourier-feature configs too (the bank
+    # is frozen per point, computed here, carried as extra feature rows).
+    # Remaining exclusions: x64 parity runs and the adaptive solvers
+    # (the kernel takes k_steps*n_sub fine fixed steps).
+    if (cfg.use_pallas and not cfg.x64
+            and cfg.solver not in ADAPTIVE_METHODS
+            and jax.default_backend() == "tpu"):
         from xnode_wan_tpu.ops.pallas.xnode_eval import fused_evaluate
         pts0 = pts.at[:, 0].set(cfg.T0)
         entry_pts = pts.at[:, 0].set(t_entry)
         seed = jnp.where(seed_from_h, problem.h(pts0),
                          problem.g(entry_pts)) / scale
+        feats = spatial_features(pts[:, 1:], cfg.fourier_features)
+        # multistep (Adams) histories don't map onto the kernel's step
+        # loop; their serving integration uses the midpoint fine grid
+        method = (cfg.solver if cfg.solver in ("euler", "midpoint",
+                                               "heun", "rk4")
+                  else "midpoint")
         return fused_evaluate(params, pts, seed, k_steps * cfg.n_sub,
-                              t_start=t_entry) * scale
+                              t_start=t_entry, feats=feats,
+                              method=method) * scale
     m = pts.shape[0]
     t = pts[:, 0]
     frac = jnp.linspace(0.0, 1.0, k_steps + 1, dtype=pts.dtype)

@@ -61,37 +61,84 @@ def _rk4(field: Field, t, h, dt):
 
 STEPPERS = {"euler": _euler, "midpoint": _midpoint, "heun": _heun, "rk4": _rk4}
 
-# Dormand-Prince 5(4) tableau (the reference's torchdiffeq `dopri5`
-# surface, src/model.py:103-106 passes the config string through).
-_DP_C = (0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0)
-_DP_A = (
-    (),
-    (1 / 5,),
-    (3 / 40, 9 / 40),
-    (44 / 45, -56 / 15, 32 / 9),
-    (19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729),
-    (9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656),
-    (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84),
-)
-_DP_B5 = (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0)
-_DP_B4 = (5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200,
-          187 / 2100, 1 / 40)
+# Adams-Bashforth / Adams-Moulton coefficients on a uniform substep grid,
+# per history length (most-recent function value first). The torchdiffeq
+# fixed-grid multistep surface (`explicit_adams` = AB4 with incremental-
+# order startup, `fixed_adams` = AB4-predict / AM4-correct PECE); the
+# reference passes these method strings straight through
+# (src/model.py:103-106).
+_AB = {
+    1: (1.0,),
+    2: (3 / 2, -1 / 2),
+    3: (23 / 12, -16 / 12, 5 / 12),
+    4: (55 / 24, -59 / 24, 37 / 24, -9 / 24),
+}
+_AM = {  # first coefficient multiplies f(t_{k+1}, h_predicted)
+    1: (1.0,),
+    2: (1 / 2, 1 / 2),
+    3: (5 / 12, 8 / 12, -1 / 12),
+    4: (9 / 24, 19 / 24, -5 / 24, 1 / 24),
+}
+
+FIXED_METHODS = ("euler", "midpoint", "heun", "rk4",
+                 "explicit_adams", "fixed_adams")
+ADAPTIVE_METHODS = ("dopri5", "bosh3", "adaptive_heun")
+
+# Embedded Runge-Kutta tableaus for the adaptive integrator:
+# (c nodes, A rows, b_high, b_low, controller order). dopri5 is
+# Dormand-Prince 5(4) — torchdiffeq's default adaptive method; bosh3 is
+# Bogacki-Shampine 3(2); adaptive_heun is the Heun-Euler 2(1) pair —
+# the remaining torchdiffeq adaptive method names the reference's config
+# string reaches (src/model.py:103-106).
+_TABLEAUS = {
+    "dopri5": (
+        (0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0),
+        (
+            (),
+            (1 / 5,),
+            (3 / 40, 9 / 40),
+            (44 / 45, -56 / 15, 32 / 9),
+            (19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729),
+            (9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656),
+            (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84),
+        ),
+        (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0),
+        (5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200,
+         187 / 2100, 1 / 40),
+        5,
+    ),
+    "bosh3": (
+        (0.0, 1 / 2, 3 / 4, 1.0),
+        ((), (1 / 2,), (0.0, 3 / 4), (2 / 9, 1 / 3, 4 / 9)),
+        (2 / 9, 1 / 3, 4 / 9, 0.0),
+        (7 / 24, 1 / 4, 1 / 3, 1 / 8),
+        3,
+    ),
+    "adaptive_heun": (
+        (0.0, 1.0),
+        ((), (1.0,)),
+        (1 / 2, 1 / 2),
+        (1.0, 0.0),
+        2,
+    ),
+}
 
 
-def _dopri5_step(field: Field, t, h, dt):
-    """One embedded RK5(4) step; returns (h5, error_estimate)."""
+def _embedded_step(tableau, field: Field, t, h, dt):
+    """One embedded RK step; returns (h_high, error_estimate)."""
+    cs, rows, b_hi, b_lo, _ = tableau
     ks = []
-    for c, row in zip(_DP_C, _DP_A):
+    for c, row in zip(cs, rows):
         hk = h
         for a, k in zip(row, ks):
             hk = hk + dt * a * k
         ks.append(field(t + c * dt[:, 0], hk))
-    h5 = h
+    h_hi = h
     err = jnp.zeros_like(h)
-    for b5, b4, k in zip(_DP_B5, _DP_B4, ks):
-        h5 = h5 + dt * b5 * k
-        err = err + dt * (b5 - b4) * k
-    return h5, err
+    for bh, bl, k in zip(b_hi, b_lo, ks):
+        h_hi = h_hi + dt * bh * k
+        err = err + dt * (bh - bl) * k
+    return h_hi, err
 
 
 def integrate_adaptive(
@@ -105,19 +152,24 @@ def integrate_adaptive(
     max_steps: int = 16,
     remat: bool = False,
     strict: bool = False,
+    method: str = "dopri5",
 ) -> jax.Array:
-    """Adaptive Dormand-Prince 5(4) along each path's sample grid.
+    """Adaptive embedded RK along each path's sample grid.
 
     TPU-native adaptivity: per-path step sizes with a standard
     error-controlled accept/reject + PI(-ish) step controller, but over a
     STATIC bound of ``max_steps`` attempts per sample interval (a bounded
     ``fori_loop`` with masked updates rather than a data-dependent
     ``while_loop`` — reverse-mode differentiable and one fixed XLA
-    program; finished paths idle under the mask). Matches torchdiffeq's
-    `dopri5` method surface the reference exposes
-    (``src/model.py:103-106``); tolerances via config
-    (``ode_rtol``/``ode_atol``/``ode_max_steps``).
+    program; finished paths idle under the mask). ``method`` selects the
+    embedded pair — ``dopri5`` (RK5(4)), ``bosh3`` (RK3(2)),
+    ``adaptive_heun`` (RK2(1)) — the torchdiffeq adaptive method surface
+    the reference exposes (``src/model.py:103-106``); tolerances via
+    config (``ode_rtol``/``ode_atol``/``ode_max_steps``).
     """
+    tableau = _TABLEAUS[method]
+    inv_order = 1.0 / tableau[4]
+
     def interval(h, t0v, t1v):
         span = jnp.maximum(t1v - t0v, 0.0)          # [N]
         dt = span / 4.0                              # initial guess
@@ -127,7 +179,8 @@ def integrate_adaptive(
             active = t < t1v - 1e-12
             dt_eff = jnp.minimum(jnp.where(active, dt, 0.0), t1v - t)
             dt_eff = jnp.maximum(dt_eff, 0.0)
-            h_new, err = _dopri5_step(field, t, h, dt_eff[:, None])
+            h_new, err = _embedded_step(tableau, field, t, h,
+                                        dt_eff[:, None])
             tol = atol + rtol * jnp.maximum(jnp.abs(h), jnp.abs(h_new))
             # The accept/step-size controller is a discrete decision:
             # detach it (discretize-then-optimize) so backward sees fixed
@@ -137,7 +190,7 @@ def integrate_adaptive(
             accept = (ratio <= 1.0) & active
             h = jnp.where(accept[:, None], h_new, h)
             t = jnp.where(accept, t + dt_eff, t)
-            fac = jnp.clip(0.9 * (ratio + 1e-12) ** -0.2, 0.2, 5.0)
+            fac = jnp.clip(0.9 * (ratio + 1e-12) ** -inv_order, 0.2, 5.0)
             dt = jnp.where(active, jnp.maximum(dt_eff * fac, span / 1e4),
                            dt)
             return h, t, dt
@@ -158,7 +211,7 @@ def integrate_adaptive(
         exhausted = (left > 1e-12)[:, None]
         if strict:
             return jnp.where(exhausted, jnp.nan, h)
-        h_last, _ = _dopri5_step(field, t, h, left[:, None])
+        h_last, _ = _embedded_step(tableau, field, t, h, left[:, None])
         return jnp.where(exhausted, h_last, h)
 
     def step(carry, inp):
@@ -198,18 +251,52 @@ def integrate(
     measured 16.3 -> 13.3 ms per d=5 outer iteration vs unroll=4).
     Returns ``hs [N, L, H]``: the hidden state at each sample time (stale
     carry at masked-invalid positions — callers mask them out).
+
+    Multistep methods (``explicit_adams`` = Adams-Bashforth order <=4,
+    ``fixed_adams`` = AB-predict / Adams-Moulton-correct PECE order <=4)
+    carry their function-value history across the uniform substeps WITHIN
+    a sample interval and restart at interval boundaries — the substep
+    size changes there, and the uniform-grid coefficients (torchdiffeq's
+    fixed-grid Adams solvers likewise assume a uniform step) would be
+    invalid across the seam. Startup inside each interval ramps the order
+    1 -> 4 as history accumulates (the classical self-starting scheme).
     """
     if unroll <= 0:
         unroll = times.shape[1]
-    stepper = STEPPERS[method]
 
-    def interval(h, t0, t1):
-        # dt is clamped at 0 so masked (discarded) steps can't poison
-        # gradients through jnp.where with NaN/garbage.
-        dt = (jnp.maximum(t1 - t0, 0.0) / n_sub)[:, None]
-        for k in range(n_sub):
-            h = stepper(field, t0 + k * dt[:, 0], h, dt)
-        return h
+    if method in ("explicit_adams", "fixed_adams"):
+        correct = method == "fixed_adams"
+
+        def interval(h, t0, t1):
+            dt = (jnp.maximum(t1 - t0, 0.0) / n_sub)[:, None]
+            hist = []  # f evaluations, oldest first (uniform dt)
+            for k in range(n_sub):
+                t = t0 + k * dt[:, 0]
+                hist.append(field(t, h))
+                m = min(len(hist), 4)
+                recent = hist[::-1][:m]
+                inc = sum(c * f for c, f in zip(_AB[m], recent))
+                h_pred = h + dt * inc
+                if correct:
+                    f_new = field(t + dt[:, 0], h_pred)
+                    mc = min(len(hist) + 1, 4)
+                    cc = _AM[mc]
+                    inc = cc[0] * f_new + sum(
+                        c * f for c, f in zip(cc[1:], recent[:mc - 1]))
+                    h = h + dt * inc
+                else:
+                    h = h_pred
+            return h
+    else:
+        stepper = STEPPERS[method]
+
+        def interval(h, t0, t1):
+            # dt is clamped at 0 so masked (discarded) steps can't poison
+            # gradients through jnp.where with NaN/garbage.
+            dt = (jnp.maximum(t1 - t0, 0.0) / n_sub)[:, None]
+            for k in range(n_sub):
+                h = stepper(field, t0 + k * dt[:, 0], h, dt)
+            return h
 
     def step(carry, inp):
         h, t_prev = carry

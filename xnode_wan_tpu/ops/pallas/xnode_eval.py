@@ -55,7 +55,7 @@ def _flatten_params_t(params: Dict[str, Any]) -> List[jax.Array]:
     return flat
 
 
-def _kernel(n_lift: int, n_field: int, k_steps: int,
+def _kernel(n_lift: int, n_field: int, k_steps: int, method: str,
             xt_ref, tt_ref, ts_ref, seed_ref, *refs):
     weight_refs, out_ref = refs[:-1], refs[-1]
 
@@ -88,6 +88,18 @@ def _kernel(n_lift: int, n_field: int, k_steps: int,
 
     def step(k, hh):
         t = t_start + k * dt
+        if method == "euler":
+            return hh + dt * field(t, hh)
+        if method == "heun":
+            k1 = field(t, hh)
+            return hh + 0.5 * dt * (k1 + field(t + dt, hh + dt * k1))
+        if method == "rk4":
+            k1 = field(t, hh)
+            k2 = field(t + 0.5 * dt, hh + 0.5 * dt * k1)
+            k3 = field(t + 0.5 * dt, hh + 0.5 * dt * k2)
+            k4 = field(t + dt, hh + dt * k3)
+            return hh + dt * (k1 + 2 * k2 + 2 * k3 + k4) / 6.0
+        # midpoint (default)
         k1 = field(t, hh)
         return hh + dt * field(t + 0.5 * dt, hh + 0.5 * dt * k1)
 
@@ -98,6 +110,8 @@ def _kernel(n_lift: int, n_field: int, k_steps: int,
 def fused_evaluate(params: Dict[str, Any], pts: jax.Array, seed: jax.Array,
                    k_steps: int, t0: float = 0.0,
                    t_start: jax.Array | None = None,
+                   feats: jax.Array | None = None,
+                   method: str = "midpoint",
                    interpret: bool = False) -> jax.Array:
     """Evaluate u at points ``pts [M, C]`` with seeds ``seed [M]``.
 
@@ -105,25 +119,36 @@ def fused_evaluate(params: Dict[str, Any], pts: jax.Array, seed: jax.Array,
     (computed outside — problem callables are user code and stay in JAX).
     ``t_start [M]`` is the per-point path origin time (moving domains:
     boundary-entry time, reference ``src/model.py:92-96``); defaults to a
-    shared ``t0``. Returns ``u [M]``. M is padded internally to a multiple
-    of BLOCK.
+    shared ``t0``. ``feats [M, F]`` is the field's spatial input when it
+    differs from the raw coordinates (the Fourier bank,
+    ``models/xnode.py::spatial_features``) — x is frozen along each
+    point's path, so the bank is computed once per point outside and the
+    kernel just carries F feature rows instead of d. Returns ``u [M]``.
+    M is padded internally to a multiple of BLOCK.
     """
     m, c = pts.shape
+    if feats is None:
+        feats = pts[:, 1:]
+    f_rows = feats.shape[-1]
     h_dim = params["lift"][-1]["w"].shape[-1]
-    block = _pick_block(c + h_dim + 2)
+    block = _pick_block(f_rows + h_dim + 3)
     m_pad = -(-m // block) * block
-    ptsT = jnp.pad(pts.astype(jnp.float32).T, ((0, 0), (0, m_pad - m)))
-    seedT = jnp.pad(seed.astype(jnp.float32)[None, :], ((0, 0), (0, m_pad - m)))
+
+    def padT(a):  # [M, rows] -> [rows, m_pad]
+        return jnp.pad(a.astype(jnp.float32).T, ((0, 0), (0, m_pad - m)))
+
+    featsT = padT(feats)
+    ttT = padT(pts[:, :1])
+    seedT = padT(seed[:, None])
     if t_start is None:
         t_start = jnp.full((m,), t0, dtype=jnp.float32)
-    tsT = jnp.pad(t_start.astype(jnp.float32)[None, :],
-                  ((0, 0), (0, m_pad - m)))
+    tsT = padT(t_start[:, None])
 
     flat = _flatten_params_t(params)
     n_lift = len(params["lift"])
     n_field = len(params["field"])
 
-    kernel = functools.partial(_kernel, n_lift, n_field, k_steps)
+    kernel = functools.partial(_kernel, n_lift, n_field, k_steps, method)
     col = lambda rows: pl.BlockSpec((rows, block), lambda i: (0, i),
                                     memory_space=pltpu.VMEM)
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
@@ -133,8 +158,8 @@ def fused_evaluate(params: Dict[str, Any], pts: jax.Array, seed: jax.Array,
         kernel,
         out_shape=jax.ShapeDtypeStruct((1, m_pad), jnp.float32),
         grid=(m_pad // block,),
-        in_specs=[col(c - 1), col(1), col(1), col(1)] + [full(a) for a in flat],
+        in_specs=[col(f_rows), col(1), col(1), col(1)] + [full(a) for a in flat],
         out_specs=col(1),
         interpret=interpret,
-    )(ptsT[1:], ptsT[:1], tsT, seedT, *[a.astype(jnp.float32) for a in flat])
+    )(featsT, ttT, tsT, seedT, *[a.astype(jnp.float32) for a in flat])
     return out[0, :m]

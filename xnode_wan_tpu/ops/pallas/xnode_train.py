@@ -27,13 +27,15 @@ and intermediate VMEM-resident:
 * **Masking by zero-width intervals**: invalid sample steps get ``dt = 0``
   precomputed on the JAX side, making the interval an exact identity (and
   an exact-zero gradient) with no in-kernel branching.
-* **Backward = forward recompute + reverse interval walk, in VMEM**: the
-  backward kernel re-runs the forward storing the per-interval states in
-  scratch, then walks the intervals in reverse applying ``jax.vjp`` of the
-  *shared* interval function — JAX derives the exact reverse (including
-  the second-order terms from differentiating the tangent propagation);
-  the kernel contributes the fusion and memory residency, not hand-derived
-  calculus. HBM traffic per call: the inputs once, the outputs once.
+* **Backward = stored states + reverse interval walk, in VMEM**: when the
+  call is differentiated, the forward stores each interval's start state
+  to HBM as custom-VJP residuals (~43 MB round trip at the d=5 shapes —
+  ~0.1 ms at v5e bandwidth, vs ~0.4 ms for the full in-kernel forward
+  recompute earlier rounds paid); the backward walks the intervals in
+  reverse applying ``jax.vjp`` of the *shared* interval function — JAX
+  derives the exact reverse (including the second-order terms from
+  differentiating the tangent propagation); the kernel contributes the
+  fusion and memory residency, not hand-derived calculus.
 
 The public entry :func:`u_du_fused` is a drop-in for the contraction the
 XLA path produces (``u [N, L]``, ``du [N, L, d]``) and carries a
@@ -58,7 +60,18 @@ from jax.experimental.pallas import tpu as pltpu
 # ---------------------------------------------------------------------------
 
 
+# bf16 A/B experiment hook (benchmarks/microbench_step.py --fused-bf16):
+# when set to jnp.bfloat16, every kernel matmul casts its operands and
+# accumulates in f32 (the MXU's native mixed mode). Module-level on
+# purpose — it must be set before the kernels trace; measured results in
+# docs/DESIGN.md (the nets are 10-50 wide, so matmuls occupy ~1% of each
+# 128x128 MXU pass either way — see the shape-feasibility analysis).
+MM_DTYPE = None
+
+
 def _mm(a, b):
+    if MM_DTYPE is not None:
+        a, b = a.astype(MM_DTYPE), b.astype(MM_DTYPE)
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
@@ -246,6 +259,184 @@ def _fwd_kernel(n_lift: int, n_field: int, L: int, d: int, n_sub: int,
     jax.lax.fori_loop(0, L, body, (h, ht))
 
 
+def _fwd_store_kernel(n_lift: int, n_field: int, L: int, d: int,
+                      n_sub: int, method: str,
+                      t0_ref, dt_ref, xp_ref, xt_ref, sp_ref, st_ref,
+                      *refs):
+    """Forward that additionally WRITES each interval's start state
+    (``hs [L, H, B]``, ``hts [L, H, d*B]``) — the custom-VJP residuals.
+    Used only when the call is being differentiated; the backward kernel
+    then skips its full forward recompute (measured ~0.4 ms of the
+    ~0.96 ms d=5 backward) at the cost of one extra HBM write/read of the
+    states (~43 MB round trip ≈ 0.1 ms at v5e bandwidth)."""
+    weight_refs = refs[:-4]
+    u_ref, du_ref, hs_ref, hts_ref = refs[-4:]
+    ws = [r[:] for r in weight_refs]
+    lift, field, (wr, br) = _split_ws(ws, n_lift, n_field)
+
+    xp, xt = xp_ref[:], xt_ref[:]
+    h, ht = _mlp_relu_fwd_tan(lift, sp_ref[:], st_ref[:], d)
+
+    def body(l, carry):
+        h, ht = carry
+        hs_ref[pl.ds(l, 1)] = h[None]
+        hts_ref[pl.ds(l, 1)] = ht[None]
+        t0 = t0_ref[pl.ds(l, 1), :]
+        dt = dt_ref[pl.ds(l, 1), :]
+        h, ht = _interval(field, xp, xt, h, ht, t0, dt, d, n_sub, method)
+        u_ref[pl.ds(l, 1), :] = _affine(wr, br, h)
+        du_ref[pl.ds(l, 1), :] = _dot(wr, ht)
+        return h, ht
+
+    jax.lax.fori_loop(0, L, body, (h, ht))
+
+
+# ---------------------------------------------------------------------------
+# Tangentless forward-only kernel: u values at a path batch, no gradients.
+# Serves the per-iteration fresh-sample metric forward (reference
+# src/training.py:123,167 evaluates L^p against the exact solution every
+# iteration) — the XLA scan forward costs ~1.1 ms per d=5 outer step
+# (benchmarks/profile_d5.json u_forward_net_ms); primal-only lanes in one
+# kernel cost ~0.2 ms.
+# ---------------------------------------------------------------------------
+
+
+def _field_fwd(ws, xp, t, h):
+    z = jnp.concatenate([xp, t, h], axis=0)
+    w, b = ws[0]
+    a = _mm(w, z) + b
+    for w, b in ws[1:-1]:
+        a = _mm(w, jax.nn.relu(a)) + b
+    w, b = ws[-1]
+    return _mm(w, jnp.tanh(a)) + b
+
+
+def _interval_p(ws_field, xp, h, t0, dt, n_sub: int, method: str):
+    def f(t, hh):
+        return _field_fwd(ws_field, xp, t, hh)
+
+    for k in range(n_sub):
+        t = t0 + k * dt
+        if method == "euler":
+            h = h + dt * f(t, h)
+        elif method == "midpoint":
+            k1 = f(t, h)
+            h = h + dt * f(t + 0.5 * dt, h + 0.5 * dt * k1)
+        elif method == "heun":
+            k1 = f(t, h)
+            h = h + 0.5 * dt * (k1 + f(t + dt, h + dt * k1))
+        elif method == "rk4":
+            k1 = f(t, h)
+            k2 = f(t + 0.5 * dt, h + 0.5 * dt * k1)
+            k3 = f(t + 0.5 * dt, h + 0.5 * dt * k2)
+            k4 = f(t + dt, h + dt * k3)
+            h = h + dt * (k1 + 2 * k2 + 2 * k3 + k4) / 6.0
+        else:  # pragma: no cover - validated in config
+            raise ValueError(method)
+    return h
+
+
+def _fwd_only_kernel(n_lift: int, n_field: int, L: int, n_sub: int,
+                     method: str, t0_ref, dt_ref, xp_ref, sp_ref, *refs):
+    weight_refs, u_ref = refs[:-1], refs[-1]
+    ws = [r[:] for r in weight_refs]
+    lift, field, (wr, br) = _split_ws(ws, n_lift, n_field)
+    xp = xp_ref[:]
+
+    h = _mm(lift[0][0], sp_ref[:]) + lift[0][1]
+    for w, b in lift[1:]:
+        h = _mm(w, jax.nn.relu(h)) + b
+
+    def body(l, h):
+        t0 = t0_ref[pl.ds(l, 1), :]
+        dt = dt_ref[pl.ds(l, 1), :]
+        h = _interval_p(field, xp, h, t0, dt, n_sub, method)
+        u_ref[pl.ds(l, 1), :] = _mm(wr, h) + br
+        return h
+
+    jax.lax.fori_loop(0, L, body, h)
+
+
+@functools.lru_cache(maxsize=32)
+def _build_fwd_only(n_lift: int, n_field: int, L: int, n_sub: int,
+                    method: str, F: int, n_pad: int, block: int,
+                    interpret: bool):
+    grid = (n_pad // block,)
+
+    def col(rows):
+        return pl.BlockSpec((rows, block), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    def full(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def fwd(t0, dt, xp, sp, flat):
+        kernel = functools.partial(_fwd_only_kernel, n_lift, n_field, L,
+                                   n_sub, method)
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((L, n_pad), jnp.float32),
+            grid=grid,
+            in_specs=([col(L), col(L), col(F), col(1)]
+                      + [full(a.shape) for a in flat]),
+            out_specs=col(L),
+            interpret=interpret,
+        )(t0, dt, xp, sp, *flat)
+
+    return fwd
+
+
+def u_forward_fused(params, batch, problem, cfg, interpret: bool = False,
+                    mesh=None, data_axis: str = "data") -> jax.Array:
+    """Primal values ``u [N, L]`` only — the metric/serving forward on a
+    path batch, VMEM-fused, no gradients (callers treat it as data).
+    Mirrors :func:`fused_from_batch`'s seeding exactly."""
+    from xnode_wan_tpu.models.xnode import spatial_features
+
+    xs = batch.space[:, 0, :].astype(jnp.float32)
+    scale = float(cfg.u_scale if cfg.u_scale > 0 else 1.0)
+    first_t = batch.times[:, :1].astype(jnp.float32)
+    t_start = batch.t_start.astype(jnp.float32)
+    first_pts = jnp.concatenate([first_t, xs], axis=-1)
+    entry_pts = jnp.concatenate([t_start[:, None], xs], axis=-1)
+    seed = jnp.where(batch.seed_from_h, problem.h(first_pts),
+                     problem.g(entry_pts)) / scale
+    feats = spatial_features(xs, cfg.fourier_features)
+
+    N, F = feats.shape
+    L = batch.times.shape[1]
+    block = 2048
+    n_shards = 1 if mesh is None else int(mesh.shape[data_axis])
+    n_pad = -(-N // (block * n_shards)) * (block * n_shards)
+    n_lift, n_field = len(params["lift"]), len(params["field"])
+
+    t0, dt = _prep_intervals(batch.times.astype(jnp.float32), batch.mask,
+                             t_start, cfg.n_sub)
+
+    def padT(a, rows):
+        a = a.astype(jnp.float32).T.reshape(rows, N)
+        return jnp.pad(a, ((0, 0), (0, n_pad - N)))
+
+    flat = tuple(_flatten_params_t(params))
+    fwd = _build_fwd_only(n_lift, n_field, L, cfg.n_sub, cfg.solver, F,
+                          n_pad // n_shards, block, interpret)
+    args = (padT(t0, L), padT(dt, L), padT(feats, F), padT(seed[:, None], 1))
+    if mesh is None:
+        u_raw = fwd(*args, flat)
+    else:
+        from jax.sharding import PartitionSpec as P
+        lane, rep = P(None, data_axis), P()
+
+        def body(t0_, dt_, xp_, sp_, *fl):
+            return fwd(t0_, dt_, xp_, sp_, fl)
+
+        u_raw = jax.shard_map(
+            body, mesh=mesh, in_specs=(lane,) * 4 + (rep,) * len(flat),
+            out_specs=lane, check_vma=False)(*args, *flat)
+    return u_raw[:, :N].T * scale
+
+
 # ---------------------------------------------------------------------------
 # Backward kernel: forward recompute (states to scratch) + reverse walk.
 # ---------------------------------------------------------------------------
@@ -255,29 +446,21 @@ def _bwd_kernel(n_lift: int, n_field: int, L: int, d: int, n_sub: int,
                 method: str,
                 t0_ref, dt_ref, xp_ref, xt_ref, sp_ref, st_ref,
                 *refs):
+    """Reverse walk over the intervals consuming the START states the
+    forward stored (``hs``/``hts`` residual inputs — see
+    :func:`_fwd_store_kernel`; earlier rounds recomputed them here)."""
     n_w = 2 * (n_lift + n_field + 1)
     weight_refs = refs[:n_w]
-    ub_ref, dub_ref = refs[n_w], refs[n_w + 1]
-    grad_refs = refs[n_w + 2:n_w + 2 + n_w]
-    hs_ref, hts_ref = refs[n_w + 2 + n_w], refs[n_w + 2 + n_w + 1]
+    hs_ref, hts_ref = refs[n_w], refs[n_w + 1]
+    ub_ref, dub_ref = refs[n_w + 2], refs[n_w + 3]
+    grad_refs = refs[n_w + 4:]
 
     ws = [r[:] for r in weight_refs]
     lift, field, (wr, br) = _split_ws(ws, n_lift, n_field)
     xp, xt = xp_ref[:], xt_ref[:]
     sp, st = sp_ref[:], st_ref[:]
-
-    # --- forward recompute, storing each interval's START state -----------
-    h0, ht0 = _mlp_relu_fwd_tan(lift, sp, st, d)
-
-    def fwd_body(l, carry):
-        h, ht = carry
-        hs_ref[pl.ds(l, 1)] = h[None]
-        hts_ref[pl.ds(l, 1)] = ht[None]
-        t0 = t0_ref[pl.ds(l, 1), :]
-        dt = dt_ref[pl.ds(l, 1), :]
-        return _interval(field, xp, xt, h, ht, t0, dt, d, n_sub, method)
-
-    jax.lax.fori_loop(0, L, fwd_body, (h0, ht0))
+    h0 = hs_ref[pl.ds(0, 1)][0]
+    ht0 = hts_ref[pl.ds(0, 1)][0]
 
     # --- reverse walk ------------------------------------------------------
     field_flat = [a for pair in field for a in pair]
@@ -439,30 +622,23 @@ def _flatten_params_t(params: Dict[str, Any]) -> List[jax.Array]:
     return flat
 
 
-def _unflatten_grads(flat: Sequence[jax.Array], params: Dict[str, Any]):
-    out = {"lift": [], "field": [], "readout": None}
-    i = 0
-    for name in ("lift", "field"):
-        for layer in params[name]:
-            out[name].append({"w": flat[i].T.astype(layer["w"].dtype),
-                              "b": flat[i + 1][:, 0].astype(layer["b"].dtype)})
-            i += 2
-    layer = params["readout"]
-    out["readout"] = {"w": flat[i].T.astype(layer["w"].dtype),
-                      "b": flat[i + 1][:, 0].astype(layer["b"].dtype)}
-    return out
-
-
 @functools.lru_cache(maxsize=32)
 def _build(n_lift: int, n_field: int, L: int, d: int, n_sub: int,
            method: str, F: int, H: int, n_pad: int, block: int,
            interpret: bool):
-    """Compile-cached (fwd, bwd) pallas_call builders for one geometry."""
+    """Compile-cached (fwd, fwd_store, bwd) pallas_call builders for one
+    geometry. ``fwd`` is the plain primal (no residuals — used when the
+    call is not differentiated); ``fwd_store`` additionally emits the
+    per-interval start states that ``bwd`` consumes."""
     grid = (n_pad // block,)
     db = d * block
 
     def col(rows, width):
         return pl.BlockSpec((rows, width), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    def col3(width):
+        return pl.BlockSpec((L, H, width), lambda i: (0, 0, i),
                             memory_space=pltpu.VMEM)
 
     def full(shape):
@@ -485,13 +661,33 @@ def _build(n_lift: int, n_field: int, L: int, d: int, n_sub: int,
             interpret=interpret,
         )(t0, dt, xp, xt, sp, st, *flat)
 
-    def bwd(t0, dt, xp, xt, sp, st, flat, ub, dub):
+    def fwd_store(t0, dt, xp, xt, sp, st, flat):
+        kernel = functools.partial(_fwd_store_kernel, n_lift, n_field, L,
+                                   d, n_sub, method)
+        in_specs = ([col(L, block), col(L, block), col(F, block),
+                     col(F, db), col(1, block), col(1, db)]
+                    + [full(a.shape) for a in flat])
+        return pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((L, n_pad), jnp.float32),
+                jax.ShapeDtypeStruct((L, d * n_pad), jnp.float32),
+                jax.ShapeDtypeStruct((L, H, n_pad), jnp.float32),
+                jax.ShapeDtypeStruct((L, H, d * n_pad), jnp.float32),
+            ),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=(col(L, block), col(L, db), col3(block), col3(db)),
+            interpret=interpret,
+        )(t0, dt, xp, xt, sp, st, *flat)
+
+    def bwd(t0, dt, xp, xt, sp, st, flat, hs, hts, ub, dub):
         kernel = functools.partial(_bwd_kernel, n_lift, n_field, L, d,
                                    n_sub, method)
         in_specs = ([col(L, block), col(L, block), col(F, block),
                      col(F, db), col(1, block), col(1, db)]
                     + [full(a.shape) for a in flat]
-                    + [col(L, block), col(L, db)])
+                    + [col3(block), col3(db), col(L, block), col(L, db)])
         return pl.pallas_call(
             kernel,
             out_shape=tuple(jax.ShapeDtypeStruct(a.shape, jnp.float32)
@@ -499,14 +695,10 @@ def _build(n_lift: int, n_field: int, L: int, d: int, n_sub: int,
             grid=grid,
             in_specs=in_specs,
             out_specs=tuple(full(a.shape) for a in flat),
-            scratch_shapes=[
-                pltpu.VMEM((L + 1, H, block), jnp.float32),
-                pltpu.VMEM((L + 1, H, db), jnp.float32),
-            ],
             interpret=interpret,
-        )(t0, dt, xp, xt, sp, st, *flat, ub, dub)
+        )(t0, dt, xp, xt, sp, st, *flat, hs, hts, ub, dub)
 
-    return fwd, bwd
+    return fwd, fwd_store, bwd
 
 
 def _prep_intervals(times: jax.Array, mask: jax.Array, t_start: jax.Array,
@@ -617,7 +809,8 @@ def u_du_fused(params, feats: jax.Array, dfeats: jax.Array,
 
 
 def fused_from_batch(params, batch, problem, cfg, interpret: bool = False,
-                     d_chunk=None) -> Tuple[jax.Array, jax.Array]:
+                     d_chunk=None, mesh=None, data_axis: str = "data"
+                     ) -> Tuple[jax.Array, jax.Array]:
     """Drop-in for ``ops/weak_form.py::u_with_spatial_grad`` on the fused
     kernel: computes the seed (problem ``h``/``g`` data — user code, stays
     in JAX) and the feature/seed spatial tangents, then calls the kernel.
@@ -656,7 +849,8 @@ def fused_from_batch(params, batch, problem, cfg, interpret: bool = False,
         params, feats_of(xs), jnp.moveaxis(dfeats, 0, 1),
         seed_of(xs), dseed.T, batch.times, batch.mask, batch.t_start,
         n_sub=cfg.n_sub, method=cfg.solver, scale=scale,
-        interpret=interpret, d_chunk=d_chunk)
+        interpret=interpret, d_chunk=d_chunk, mesh=mesh,
+        data_axis=data_axis)
 
 
 def _tangent_lanes(a: jax.Array, block: int, n_pad: int) -> jax.Array:
@@ -679,27 +873,111 @@ def _tangent_unlanes(a: jax.Array, block: int, d: int) -> jax.Array:
     return a.reshape(L, d, nb * block)
 
 
+@functools.lru_cache(maxsize=32)
+def _build_sharded(meta):
+    """(fwd, fwd_store, bwd) builders running the kernel under
+    ``jax.shard_map``.
+
+    ``meta`` = the :func:`_build` geometry tuple + ``(mesh, data_axis)``.
+    Lane-dimension arrays (including the stored state residuals) shard
+    over ``data_axis`` (each device gets a whole number of kernel
+    blocks — the caller padded for that); weights go in replicated. The
+    backward ``psum``s each device's partial parameter cotangents over
+    the data axis, so the returned grads are replicated — exactly what
+    the optimizer's replicated params expect. Mesh axes other than
+    ``data_axis`` (e.g. ``tangent``) replicate the compute: correct,
+    redundant; callers gate those layouts.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    (n_lift, n_field, L, d, n_sub, method, F, H, n_pad, block,
+     interp, mesh, axis) = meta
+    n_shards = int(mesh.shape[axis])
+    local_meta = (n_lift, n_field, L, d, n_sub, method, F, H,
+                  n_pad // n_shards, block, interp)
+    fwd_local, fwd_store_local, bwd_local = _build(*local_meta)
+    lane = P(None, axis)
+    lane3 = P(None, None, axis)
+    rep = P()
+
+    def fwd(t0T, dtT, xpT, xtT, spT, stT, flat):
+        def body(t0, dt, xp, xt, sp, st, *fl):
+            return fwd_local(t0, dt, xp, xt, sp, st, fl)
+
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(lane,) * 6 + (rep,) * len(flat),
+            out_specs=(lane, lane), check_vma=False,
+        )(t0T, dtT, xpT, xtT, spT, stT, *flat)
+
+    def fwd_store(t0T, dtT, xpT, xtT, spT, stT, flat):
+        def body(t0, dt, xp, xt, sp, st, *fl):
+            return fwd_store_local(t0, dt, xp, xt, sp, st, fl)
+
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(lane,) * 6 + (rep,) * len(flat),
+            out_specs=(lane, lane, lane3, lane3), check_vma=False,
+        )(t0T, dtT, xpT, xtT, spT, stT, *flat)
+
+    def bwd(t0T, dtT, xpT, xtT, spT, stT, flat, hs, hts, ub, dub):
+        def body(t0, dt, xp, xt, sp, st, hs, hts, ub, dub, *fl):
+            grads = bwd_local(t0, dt, xp, xt, sp, st, fl, hs, hts, ub, dub)
+            return tuple(jax.lax.psum(g, axis) for g in grads)
+
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(lane,) * 6 + (lane3, lane3, lane, lane)
+            + (rep,) * len(flat),
+            out_specs=(rep,) * len(flat), check_vma=False,
+        )(t0T, dtT, xpT, xtT, spT, stT, hs, hts, ub, dub, *flat)
+
+    return fwd, fwd_store, bwd
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _fused_core_sharded(flat, t0T, dtT, xpT, xtT, spT, stT, meta):
+    return _build_sharded(meta)[0](t0T, dtT, xpT, xtT, spT, stT, flat)
+
+
+def _fused_core_sharded_fwd(flat, t0T, dtT, xpT, xtT, spT, stT, meta):
+    u, du, hs, hts = _build_sharded(meta)[1](
+        t0T, dtT, xpT, xtT, spT, stT, flat)
+    return (u, du), (flat, t0T, dtT, xpT, xtT, spT, stT, hs, hts)
+
+
+def _fused_core_sharded_bwd(meta, res, cots):
+    flat, t0T, dtT, xpT, xtT, spT, stT, hs, hts = res
+    ub, dub = cots
+    grads = _build_sharded(meta)[2](
+        t0T, dtT, xpT, xtT, spT, stT, flat, hs, hts,
+        ub.astype(jnp.float32), dub.astype(jnp.float32))
+    zeros = tuple(jnp.zeros_like(a)
+                  for a in (t0T, dtT, xpT, xtT, spT, stT))
+    return (tuple(grads),) + zeros
+
+
+_fused_core_sharded.defvjp(_fused_core_sharded_fwd, _fused_core_sharded_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
 def _fused_core(flat, t0T, dtT, xpT, xtT, spT, stT, meta):
-    n_lift, n_field, L, d, n_sub, method, F, H, n_pad, block, interp = meta
-    fwd, _ = _build(n_lift, n_field, L, d, n_sub, method, F, H, n_pad,
-                    block, interp)
-    return fwd(t0T, dtT, xpT, xtT, spT, stT, flat)
+    return _build(*meta)[0](t0T, dtT, xpT, xtT, spT, stT, flat)
 
 
 def _fused_core_fwd(flat, t0T, dtT, xpT, xtT, spT, stT, meta):
-    out = _fused_core(flat, t0T, dtT, xpT, xtT, spT, stT, meta)
-    return out, (flat, t0T, dtT, xpT, xtT, spT, stT)
+    # Differentiated call: run the state-storing forward so the backward
+    # kernel skips its recompute (residuals ride HBM instead).
+    u, du, hs, hts = _build(*meta)[1](t0T, dtT, xpT, xtT, spT, stT, flat)
+    return (u, du), (flat, t0T, dtT, xpT, xtT, spT, stT, hs, hts)
 
 
 def _fused_core_bwd(meta, res, cots):
-    n_lift, n_field, L, d, n_sub, method, F, H, n_pad, block, interp = meta
-    flat, t0T, dtT, xpT, xtT, spT, stT = res
+    flat, t0T, dtT, xpT, xtT, spT, stT, hs, hts = res
     ub, dub = cots
-    _, bwd = _build(n_lift, n_field, L, d, n_sub, method, F, H, n_pad,
-                    block, interp)
-    grads = bwd(t0T, dtT, xpT, xtT, spT, stT, flat,
-                ub.astype(jnp.float32), dub.astype(jnp.float32))
+    grads = _build(*meta)[2](t0T, dtT, xpT, xtT, spT, stT, flat, hs, hts,
+                             ub.astype(jnp.float32),
+                             dub.astype(jnp.float32))
     zeros = tuple(jnp.zeros_like(a)
                   for a in (t0T, dtT, xpT, xtT, spT, stT))
     return (tuple(grads),) + zeros

@@ -180,6 +180,12 @@ class Hypercube:
     def top(self) -> float:
         return float(self.shape_param[1])
 
+    # Every interior path spans the full grid (mask all-true), so the
+    # per-exit-group objective has exactly ONE occupied group and reduces
+    # to the pooled estimator — the loss skips the segment_sum machinery
+    # (TPU scatters, measured ~0.3 ms/outer step) when this is set.
+    single_exit_group: bool = True
+
     def interior_rows(self, n_r: int) -> int:
         return n_r
 

@@ -100,6 +100,32 @@ def v_phi_and_grads(v_apply: Callable, v_params, pts: jax.Array,
             dphi_flat.reshape(n, l, c))
 
 
+def v_phi_grads_fused(v_params, pts: jax.Array, func_w: Callable,
+                      cfg: SolverConfig, mesh=None, interpret: bool = False
+                      ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Fused-kernel counterpart of :func:`v_phi_and_grads`.
+
+    The discriminator's value and input-gradient come from the joint
+    primal+tangent Pallas kernel (``ops/pallas/disc_train.py``); the
+    cutoff ``w`` and its gradient are sample data (user domain code,
+    stays in JAX), so ``phi = v w`` and ``grad phi = w grad v + v grad w``
+    assemble elementwise. The parameter gradient flows through the
+    kernel's custom VJP only.
+    """
+    from xnode_wan_tpu.ops.pallas.disc_train import v_dv_fused
+
+    n, l, c = pts.shape
+    flat = pts.reshape(-1, c)
+    v, dv = v_dv_fused(v_params, flat, v_layers=cfg.v_layers,
+                       tied=cfg.tied_v, n_freq=cfg.v_fourier_features,
+                       mesh=mesh, data_axis=cfg.data_axis,
+                       interpret=interpret)
+    w, dw = jax.vmap(jax.value_and_grad(func_w))(flat)
+    phi = v * w
+    dphi = dv * w[:, None] + v[:, None] * dw
+    return v.reshape(n, l), phi.reshape(n, l), dphi.reshape(n, l, c)
+
+
 def _endpoint_indices(mask: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Per-path first/last valid time index and row-validity."""
     l = mask.shape[1]
@@ -301,15 +327,32 @@ def make_losses(problem, domain, cfg: SolverConfig, u_apply: Callable,
         tangent_sharding = NamedSharding(
             mesh, P("tangent", cfg.data_axis, None))
 
-    # Fused Pallas (u, grad_x u) + custom-VJP kernel on the single-chip TPU
-    # hot path (ops/pallas/xnode_train.py): one kernel per direction
-    # instead of ~360 HBM-round-tripping matmuls. Multi-chip keeps the XLA
-    # path (a pallas_call under a sharded jit would gather; shard_map
-    # integration is future work), as do x64 parity runs and the WAN
-    # primal (the kernel bakes the XNODE architecture).
+    # Fused Pallas (u, grad_x u) + custom-VJP kernel on the TPU hot path
+    # (ops/pallas/xnode_train.py): one kernel per direction instead of
+    # ~360 HBM-round-tripping matmuls. Under a device mesh the kernel runs
+    # per-device via jax.shard_map over the data axis (paths shard, weights
+    # replicate, parameter cotangents psum) — multi-chip keeps the fast
+    # path. Exclusions: x64 parity runs, dopri5 (adaptive stepping), the
+    # WAN primal (the kernel bakes the XNODE architecture), and
+    # ensemble > 1 (the step is vmapped over members; shard_map does not
+    # nest under that vmap — members already fill the idle MXU).
+    fused_mesh = None
+    mesh_ok = mesh is None
+    if (mesh is not None and cfg.ensemble == 1
+            and cfg.data_axis in mesh.axis_names):
+        fused_mesh, mesh_ok = mesh, True
     use_fused = (cfg.primal == "xnode" and cfg.fused_grad and not cfg.x64
-                 and cfg.solver != "dopri5"
-                 and mesh is None and jax.default_backend() == "tpu")
+                 and cfg.solver in ("euler", "midpoint", "heun", "rk4")
+                 and mesh_ok and jax.default_backend() == "tpu")
+    # The adversary-side fused kernel (disc_train.py) is OPT-IN
+    # (fused_v: true): measured slower than the XLA vmap(value_and_grad)
+    # path on the d=5 hot step (6.56 vs 6.13 ms — launch overhead beats
+    # the fusion at 50-wide MLP shapes, DESIGN.md §14). It is independent
+    # of the primal architecture (covers WAN/dopri5 runs) and composes
+    # with the mesh via its cotangent psum; x64 and non-data mesh
+    # layouts always keep the XLA path.
+    use_fused_v = (cfg.fused_v and cfg.fused_grad and not cfg.x64
+                   and mesh_ok and jax.default_backend() == "tpu")
 
     def u_side(u_params, batch):
         """Primal values + pointwise spatial gradients (constant across
@@ -322,7 +365,9 @@ def make_losses(problem, domain, cfg: SolverConfig, u_apply: Callable,
             dc = fused_chunk(u_params, batch.times.shape[1], d, F,
                              cfg.n_sub, cfg.solver)
             if dc == d:
-                return fused_from_batch(u_params, batch, problem, cfg)
+                return fused_from_batch(u_params, batch, problem, cfg,
+                                        mesh=fused_mesh,
+                                        data_axis=cfg.data_axis)
             if (dc is not None and cfg.fused_chunk
                     and d // dc <= cfg.fused_chunk_max):
                 # Full-d geometry exceeds scoped VMEM (d=50, wide d=20):
@@ -334,7 +379,8 @@ def make_losses(problem, domain, cfg: SolverConfig, u_apply: Callable,
                 # 5 chunks, benchmarks/microbench_d50_chunk.json), so the
                 # opt-in never silently decays toward dc=1.
                 return fused_from_batch(u_params, batch, problem, cfg,
-                                        d_chunk=dc)
+                                        d_chunk=dc, mesh=fused_mesh,
+                                        data_axis=cfg.data_axis)
             # Geometry too large for the kernel's scoped-VMEM stack at
             # the minimum 128-path block (e.g. d=50): XLA path.
         return u_with_spatial_grad(u_apply, u_params, batch, problem, cfg,
@@ -349,11 +395,23 @@ def make_losses(problem, domain, cfg: SolverConfig, u_apply: Callable,
         side at X — the reference's exact estimator (src/loss.py:51-70).
         """
         v_pts = batch.x if vbatch is None else vbatch.x
+        if use_fused_v:
+            from xnode_wan_tpu.ops.pallas.disc_train import v_fused_fits
+            if v_fused_fits(v_params, v_pts.shape[-1], cfg.v_layers,
+                            cfg.tied_v):
+                return v_phi_grads_fused(v_params, v_pts, domain.func_w,
+                                         cfg, mesh=fused_mesh)
         return v_phi_and_grads(v_apply, v_params, v_pts, domain.func_w)
+
+    # Hypercube: every path occupies the single last-time exit group, so
+    # the grouped objective IS the pooled one — skip the segment_sum
+    # machinery (TPU scatters) statically.
+    grouped = cfg.group_loss and not getattr(domain, "single_exit_group",
+                                             False)
 
     def int_from_sides(u, du, vside, batch):
         v, phi, dphi = vside
-        if cfg.group_loss:
+        if grouped:
             # per-exit-group channels (reference group semantics)
             int_loss, current, norm = grouped_interior_objective(
                 u, du, v, phi, dphi, batch, problem, domain,

@@ -213,6 +213,29 @@ class NODEWANSolver:
 
         init_fn, self._u_apply, self._u_eval_points = PRIMAL_MODELS[cfg.primal]
 
+        # Fresh-sample metric forward (reference src/training.py:123,167
+        # evaluates the L^p error every iteration): route through the
+        # tangentless fused kernel when the training kernel's gates hold —
+        # the XLA scan forward costs ~1.1 ms of the d=5 outer step
+        # (benchmarks/profile_d5.json) vs ~0.2 ms primal-only fused.
+        self._metric_u_apply = self._u_apply
+        _mesh_ok = (self.mesh is None
+                    or (cfg.ensemble == 1
+                        and cfg.data_axis in self.mesh.axis_names))
+        if (cfg.primal == "xnode" and cfg.fused_grad and not cfg.x64
+                and cfg.solver in ("euler", "midpoint", "heun", "rk4")
+                and _mesh_ok and jax.default_backend() == "tpu"):
+            from xnode_wan_tpu.ops.pallas.xnode_train import u_forward_fused
+            _fused_mesh = self.mesh if (
+                self.mesh is not None and cfg.ensemble == 1) else None
+
+            def _metric_apply(params, b, problem, cfg2):
+                return u_forward_fused(params, b, problem, cfg2,
+                                       mesh=_fused_mesh,
+                                       data_axis=cfg.data_axis)
+
+            self._metric_u_apply = _metric_apply
+
         def v_apply(v_params, pts):
             return apply_discriminator(v_params, pts, cfg.v_layers,
                                        cfg.tied_v, cfg.v_fourier_features)
@@ -489,7 +512,8 @@ class NODEWANSolver:
         if self.problem.u_sol is not None:
             ebatch, _, _ = self._sample(k_eval)
             eval_params = u_ema if cfg.ema_decay > 0 else u_params
-            u_vals = self._u_apply(eval_params, ebatch, self.problem, cfg)
+            u_vals = self._metric_u_apply(eval_params, ebatch,
+                                          self.problem, cfg)
             sol = self.problem.u_sol(ebatch.x)
             vol = self.domain.V()
             metrics["L2"] = l_norm(u_vals, sol, ebatch.mask, vol, cfg.p)
@@ -632,15 +656,20 @@ class NODEWANSolver:
         # triggers a fresh compile that itself overruns the budget and
         # cascades the window down to the floor.
         warm_windows = set()
+        t_train0 = time.time()
         while done < max_iters and rel > rel_tol:
             was_warm = window in warm_windows
             t0 = time.time()
-            self.state, k, rel_dev, hist = get_run(window)(
+            self.state, k_dev, rel_dev, hist = get_run(window)(
                 self.state, jnp.asarray(rel_tol, jnp.float32))
             warm_windows.add(window)
+            # ONE device fetch per window: under the axon relay every
+            # device_get pays a ~28 ms round-trip floor, so separate
+            # int(k)/float(rel)/get(hist) fetches tripled the per-window
+            # host cost for nothing.
+            k, rel, h = jax.device_get((k_dev, rel_dev, hist))
             k = int(k)
-            rel = float(rel_dev)
-            h = jax.device_get(hist)
+            rel = float(rel)
             for name in chunks:
                 chunks[name].append(h[name][:k])
             done += k
@@ -692,6 +721,10 @@ class NODEWANSolver:
                for name, parts in chunks.items()}
         out["iterations_run"] = done
         out["rel_err_final"] = rel
+        # wall-clock of the training loop itself, i.e. time-to-tolerance:
+        # excludes the final best/checkpoint artifact writes below (they
+        # happen after the stop criterion is met)
+        out["wall_train_s"] = time.time() - t_train0
         if best_seen[1] is not None and best_seen[0] < rel:
             ckpt.save(os.path.join(self.work_dir,
                                    "best_model_weights_NODE.msgpack"),
