@@ -1,0 +1,95 @@
+"""Randomized-QMC (shifted scrambled Halton) interior sampling.
+
+The feature is a pure estimator-variance reduction on the Hypercube's
+interior cloud (ops/qmc.py); these tests pin determinism, unbiasedness,
+the actual variance win, and the config plumbing/guards.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xnode_wan_tpu.config import SolverConfig
+from xnode_wan_tpu.ops.qmc import halton_base, qmc_uniform
+from xnode_wan_tpu.ops.sampling import make_domain
+
+
+def test_halton_base_deterministic_and_in_range():
+    a = halton_base(512, 7)
+    b = halton_base(512, 7)
+    assert a.shape == (512, 7)
+    np.testing.assert_array_equal(a, b)
+    assert a.min() >= 0.0 and a.max() < 1.0
+    # low-discrepancy: each 1-D marginal is far more even than iid uniform
+    # (the max gap between sorted samples of 512 Halton points is O(1/n))
+    for j in range(7):
+        col = np.sort(a[:, j])
+        gaps = np.diff(np.concatenate([[0.0], col, [1.0]]))
+        assert gaps.max() < 20.0 / 512
+
+def test_qmc_uniform_key_semantics():
+    f = jax.jit(lambda k: qmc_uniform(k, 256, 5, jnp.float32,
+                                      minval=-1.0, maxval=1.0))
+    x1 = f(jax.random.PRNGKey(0))
+    x2 = f(jax.random.PRNGKey(0))
+    x3 = f(jax.random.PRNGKey(1))
+    assert x1.shape == (256, 5)
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+    assert not np.allclose(np.asarray(x1), np.asarray(x3))
+    assert float(x1.min()) >= -1.0 and float(x1.max()) < 1.0
+
+
+def test_shifted_halton_is_unbiased_and_lower_variance():
+    """E[f] estimates agree with the exact integral; the spread over
+    independent randomizations is much smaller than iid MC's."""
+    n, d, reps = 1024, 5, 32
+    exact = d / 3.0  # int_[0,1]^d sum x_i^2
+
+    def f_mean(x):
+        return float(jnp.sum(x ** 2, axis=1).mean())
+
+    qmc_vals = [f_mean(qmc_uniform(jax.random.PRNGKey(i), n, d, jnp.float32))
+                for i in range(reps)]
+    iid_vals = [f_mean(jax.random.uniform(jax.random.PRNGKey(i), (n, d)))
+                for i in range(reps)]
+    assert abs(np.mean(qmc_vals) - exact) < 3 * np.std(iid_vals)
+    # the variance win is the whole point: require at least 3x std reduction
+    # (measured ~20x at these sizes; 3x leaves seed headroom)
+    assert np.std(qmc_vals) < np.std(iid_vals) / 3.0
+
+
+def test_hypercube_interior_qmc_batch():
+    dom = make_domain("Hypercube", (-1.0, 1.0), 5, 0.0, 1.0, 10, qmc="halton")
+    batch = jax.jit(lambda k: dom.interior(k, 128))(jax.random.PRNGKey(3))
+    assert batch.x.shape == (128, 10, 6)
+    assert bool(batch.mask.all())
+    xs = np.asarray(batch.space)
+    assert xs.min() >= -1.0 and xs.max() < 1.0
+    # spatial points are constant along the path (time-independent domain)
+    np.testing.assert_array_equal(xs[:, 0, :], xs[:, 5, :])
+    # fresh key -> fresh shift
+    batch2 = jax.jit(lambda k: dom.interior(k, 128))(jax.random.PRNGKey(4))
+    assert not np.allclose(np.asarray(batch2.space), xs)
+
+
+def test_qmc_guards():
+    with pytest.raises(ValueError, match="Hypercube"):
+        make_domain("NSphere_TCone", 1.0, 3, 0.0, 1.0, 10, qmc="halton")
+    with pytest.raises(ValueError, match="qmc"):
+        SolverConfig(qmc="sobolev")
+    with pytest.raises(ValueError, match="Hypercube"):
+        SolverConfig(qmc="halton", domain="NSphere_TCone", shape_param=1.0)
+
+
+def test_qmc_training_step_runs():
+    """One real outer step with qmc=halton (CPU): finite loss, state advances."""
+    from xnode_wan_tpu.problems import load_problem
+    from xnode_wan_tpu.training import NODEWANSolver
+
+    cfg = SolverConfig(dim=3, N_t=6, N_r=64, N_b=64, iterations=2,
+                       u_layers=2, v_layers=2, min_steps=2, qmc="halton")
+    problem = load_problem("Ex4_1_funcs", dim=3)
+    solver = NODEWANSolver(cfg, problem, work_dir="/tmp/qmc_smoke")
+    hist = solver.train(iterations=2)
+    assert np.isfinite(hist["loss_u"]).all()

@@ -1,0 +1,91 @@
+"""Randomized quasi-Monte-Carlo (shifted scrambled Halton) interior sampling.
+
+The weak-form objective, its gradients, and the per-iteration relative-L^p
+metric are all Monte-Carlo estimates over a fresh interior cloud
+(reference ``src/dataset.py:246-255``, ``src/loss.py:46-76``). Their MC
+variance is what makes the late training trajectory oscillate around the
+stop tolerance and delays the 1% crossing. Replacing the i.i.d. uniform
+cloud with a *randomized* low-discrepancy set is a pure estimator-variance
+reduction: for the smooth integrands here, error decays ~N^-1 (log factors)
+instead of N^-1/2, at zero additional per-step device cost.
+
+Construction (Cranley-Patterson rotation):
+
+* a **scrambled Halton** base set ``H in [0,1)^{n x d}`` is generated once
+  per (n, d) on the host at trace time and baked into the compiled program
+  as a constant (4000 x 50 f32 = 800 KB worst case — negligible),
+* each iteration draws one uniform **shift** ``s ~ U[0,1)^d`` from the
+  training PRNG key and uses ``frac(H + s)`` — fresh randomness per
+  iteration, unbiased for any integrand, variance bounded by the QMC
+  discrepancy.
+
+The base set uses ``scipy.stats.qmc.Halton(scramble=True, seed=0)`` when
+scipy is available (Owen-style digit scrambling kills the raw Halton
+correlations between high-prime dimensions, which matter at d >= 20) and
+falls back to a plain radical-inverse Halton otherwise. Determinism: the
+base depends only on (n, d), so the sampled cloud is a pure function of
+the PRNG key — checkpoints/resume and multi-host replay behave exactly as
+with pseudo-random sampling.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_PRIMES = [2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59,
+           61, 67, 71, 73, 79, 83, 89, 97, 101, 103, 107, 109, 113, 127,
+           131, 137, 139, 149, 151, 157, 163, 167, 173, 179, 181, 191, 193,
+           197, 199, 211, 223, 227, 229]
+
+
+def _radical_inverse(indices: np.ndarray, base: int) -> np.ndarray:
+    """Van der Corput radical inverse of ``indices`` in ``base`` (f64)."""
+    idx = indices.astype(np.int64)
+    out = np.zeros(idx.shape, dtype=np.float64)
+    f = 1.0 / base
+    while idx.max(initial=0) > 0:
+        out += f * (idx % base)
+        idx //= base
+        f /= base
+    return out
+
+
+@functools.lru_cache(maxsize=16)
+def halton_base(n: int, dim: int) -> np.ndarray:
+    """Scrambled-Halton base set ``[n, dim]`` in [0,1) (host, cached).
+
+    Deterministic in (n, dim). Requires ``dim <= 50`` (the largest
+    scenario dimension; extend ``_PRIMES`` past d=50 if ever needed —
+    scipy's own table covers it when available).
+    """
+    try:
+        from scipy.stats import qmc as _sq
+        h = _sq.Halton(d=dim, scramble=True, seed=0)
+        return np.asarray(h.random(n), dtype=np.float64)
+    except ImportError:
+        if dim > len(_PRIMES):
+            raise ValueError(
+                f"halton_base: dim={dim} exceeds the built-in prime table "
+                f"({len(_PRIMES)}) and scipy is unavailable") from None
+        idx = np.arange(1, n + 1)  # skip the all-zeros point
+        cols = [_radical_inverse(idx, p) for p in _PRIMES[:dim]]
+        return np.stack(cols, axis=1)
+
+
+def qmc_uniform(key: jax.Array, n: int, dim: int, dtype,
+                minval=0.0, maxval=1.0) -> jax.Array:
+    """Shifted-Halton ``[n, dim]`` draw in ``[minval, maxval)``.
+
+    Drop-in for ``jax.random.uniform(key, (n, dim), ...)``: the base set
+    is a trace-time constant; ``key`` only feeds the d-dimensional
+    Cranley-Patterson shift, so equal keys give equal batches and fresh
+    keys give fresh (unbiased) randomizations.
+    """
+    base = jnp.asarray(halton_base(n, dim), dtype=dtype)
+    shift = jax.random.uniform(key, (dim,), dtype=dtype)
+    u01 = jnp.mod(base + shift[None, :], 1.0)
+    return minval + (maxval - minval) * u01

@@ -186,6 +186,10 @@ class Hypercube:
     # (TPU scatters, measured ~0.3 ms/outer step) when this is set.
     single_exit_group: bool = True
 
+    # "halton": randomized-QMC interior cloud (shifted scrambled Halton,
+    # ops/qmc.py) — same estimator, lower Monte-Carlo variance.
+    qmc: str = "none"
+
     def interior_rows(self, n_r: int) -> int:
         return n_r
 
@@ -198,8 +202,13 @@ class Hypercube:
         kt, kx = jax.random.split(key)
         times = stratified_times(kt, self.T0, self.T, self.N_t,
                                  dtype=self._dt)
-        x = jax.random.uniform(kx, (n_r, self.dim), dtype=self._dt,
-                               minval=self.bot, maxval=self.top)
+        if self.qmc == "halton":
+            from xnode_wan_tpu.ops.qmc import qmc_uniform
+            x = qmc_uniform(kx, n_r, self.dim, self._dt,
+                            minval=self.bot, maxval=self.top)
+        else:
+            x = jax.random.uniform(kx, (n_r, self.dim), dtype=self._dt,
+                                   minval=self.bot, maxval=self.top)
         times_nl = jnp.broadcast_to(times[None, :], (n_r, self.N_t))
         return PathBatch(
             x=_assemble(times_nl, x),
@@ -617,7 +626,8 @@ class CombLoader:
 
 def make_domain(name: str, shape_param, dim: int, T0: float, T: float,
                 N_t: int, path_boundary: bool = True,
-                waist_cap: bool = False, x64: bool = None):
+                waist_cap: bool = False, x64: bool = None,
+                qmc: str = "none"):
     """Registry-based domain construction (replaces the reference's
     ``eval(params['domain'])``, ``src/training.py:84``)."""
     try:
@@ -628,7 +638,14 @@ def make_domain(name: str, shape_param, dim: int, T0: float, T: float,
         ) from None
     if cls is Hypercube:
         return cls(tuple(shape_param), dim, float(T0), float(T), int(N_t),
-                   x64=x64)
+                   x64=x64, qmc=qmc)
+    if qmc != "none":
+        # Moving domains sample through rejection-free geometric transforms
+        # (ball/cone inverse CDFs); mapping a low-discrepancy set through
+        # them is future work — refuse rather than silently ignore.
+        raise ValueError(
+            f"qmc={qmc!r} is currently supported on the Hypercube domain "
+            f"only (got domain {name!r})")
     if isinstance(shape_param, (tuple, list)):
         shape_param = float(shape_param[-1])
     if cls is NSphereTHourglass:

@@ -202,7 +202,8 @@ class NODEWANSolver:
         self.domain = make_domain(cfg.domain, cfg.shape_param, cfg.dim,
                                   cfg.T0, cfg.T, cfg.N_t,
                                   path_boundary=cfg.boundary_paths,
-                                  waist_cap=cfg.waist_cap, x64=cfg.x64)
+                                  waist_cap=cfg.waist_cap, x64=cfg.x64,
+                                  qmc=cfg.qmc)
 
         if cfg.u_scale == 0:  # auto: rms of the initial data over a probe
             probe = self.domain.interior(jax.random.PRNGKey(17), 512)
