@@ -227,9 +227,23 @@ class Hypercube:
         kt, kx, kf = jax.random.split(key, 3)
         times = stratified_times(kt, self.T0, self.T, self.N_t,
                                  dtype=self._dt)
-        x = jax.random.uniform(kx, (n_b, self.dim), dtype=self._dt,
-                               minval=self.bot, maxval=self.top)
-        face = jnp.arange(n_b) % (2 * self.dim)
+        if self.qmc == "halton":
+            # The boundary penalty is an MC estimate too; the pinned face
+            # coordinate overwrites one halton column per row. Faces get
+            # CONTIGUOUS blocks of the base set (not the interior path's
+            # round-robin): striding a Halton set by 2d fixes the leading
+            # digit in every base dividing 2d, confining that column's
+            # per-face marginal to a sub-interval (measured max gap 0.5-0.67
+            # at d=3 — worse than iid), while contiguous segments keep the
+            # low-discrepancy property (measured max gap ~0.03 vs iid ~0.06).
+            from xnode_wan_tpu.ops.qmc import qmc_uniform
+            x = qmc_uniform(kx, n_b, self.dim, self._dt,
+                            minval=self.bot, maxval=self.top)
+            face = (jnp.arange(n_b) * (2 * self.dim)) // n_b
+        else:
+            x = jax.random.uniform(kx, (n_b, self.dim), dtype=self._dt,
+                                   minval=self.bot, maxval=self.top)
+            face = jnp.arange(n_b) % (2 * self.dim)
         axis = face // 2
         val = jnp.where(face % 2 == 0, self.top, self.bot).astype(self._dt)
         x = x.at[jnp.arange(n_b), axis].set(val)
