@@ -10,6 +10,12 @@ from xnode_wan_tpu.parallel.mesh import make_mesh, round_up
 from xnode_wan_tpu.problems import load_problem
 from xnode_wan_tpu.training import NODEWANSolver
 
+# Under XNODE_TEST_TPU=1 the suite runs on the real accelerator, which may
+# be a single chip — these tests need the 8-device mesh.
+if len(jax.devices()) < 8:
+    pytest.skip("needs 8 devices (virtual CPU mesh or a TPU slice)",
+                allow_module_level=True)
+
 CFG = SolverConfig(dim=2, N_t=6, N_r=64, N_b=64, u_hidden_dim=8,
                    u_hidden_hidden_dim=8, u_layers=2, v_layers=3,
                    v_hidden_dim=12, iterations=5, alpha=1e4,
@@ -17,7 +23,7 @@ CFG = SolverConfig(dim=2, N_t=6, N_r=64, N_b=64, u_hidden_dim=8,
 
 
 def test_virtual_mesh_available():
-    assert len(jax.devices()) == 8
+    assert len(jax.devices()) >= 8
 
 
 def test_round_up():

@@ -105,12 +105,119 @@ def test_hypercube_boundary_qmc_batch():
 
 
 def test_qmc_guards():
-    with pytest.raises(ValueError, match="Hypercube"):
-        make_domain("NSphere_TCone", 1.0, 3, 0.0, 1.0, 10, qmc="halton")
     with pytest.raises(ValueError, match="qmc"):
         SolverConfig(qmc="sobolev")
-    with pytest.raises(ValueError, match="Hypercube"):
-        SolverConfig(qmc="halton", domain="NSphere_TCone", shape_param=1.0)
+    # all three domains accept the option (moving domains map the base set
+    # through their smooth monotone inverse CDFs)
+    for name, shape in (("Hypercube", (-1.0, 1.0)), ("NSphere_TCone", 1.0),
+                        ("NSphere_THourglass", 1.0)):
+        dom = make_domain(name, shape, 3, 0.0, 1.0, 8, qmc="halton")
+        assert dom.qmc == "halton"
+
+
+def test_qmc_ball_unbiased_and_lower_variance():
+    """RQMC ball cloud: correct support, unbiased E[|x|^2] = r^2 d/(d+2),
+    and the spread over independent randomizations beats i.i.d. sampling
+    (the radial coordinate is one monotone map of one Halton column)."""
+    from xnode_wan_tpu.ops.qmc import qmc_ball
+    from xnode_wan_tpu.ops.sampling import _ball
+
+    n, d, r, reps = 1024, 3, 2.0, 32
+    exact = r * r * d / (d + 2)
+
+    def rho2_mean(x):
+        return float(jnp.sum(x ** 2, axis=1).mean())
+
+    qmc_vals, iid_vals = [], []
+    for i in range(reps):
+        k = jax.random.PRNGKey(i)
+        q = qmc_ball(k, n, d, r, jnp.float32)
+        assert float(jnp.linalg.norm(q, axis=1).max()) <= r * (1 + 1e-6)
+        qmc_vals.append(rho2_mean(q))
+        iid_vals.append(rho2_mean(_ball(k, n, d, r, dtype=jnp.float32)))
+    assert abs(np.mean(qmc_vals) - exact) < 3 * np.std(iid_vals)
+    assert np.std(qmc_vals) < np.std(iid_vals) / 3.0
+    # determinism under a fixed key
+    q2 = qmc_ball(jax.random.PRNGKey(0), n, d, r, jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(qmc_ball(jax.random.PRNGKey(0), n, d, r, jnp.float32)),
+        np.asarray(q2))
+
+
+def test_cone_interior_qmc():
+    from xnode_wan_tpu.ops.sampling import NSphereTCone
+
+    dom = NSphereTCone(1.0, 3, 0.0, 1.0, 8, qmc="halton")
+    batch = jax.jit(lambda k: dom.interior(k, 128))(jax.random.PRNGKey(5))
+    xs = np.asarray(batch.space[:, 0, :])
+    rho = np.linalg.norm(xs, axis=-1)
+    assert rho.max() <= 1.0 + 1e-6
+    # mask law unchanged: alive while t < 1 - |x| (row 0 always alive)
+    times = np.asarray(batch.x[0, :, 0])
+    expect = times[None, :] < (1.0 - rho)[:, None]
+    expect[:, 0] = True
+    np.testing.assert_array_equal(np.asarray(batch.mask), expect)
+    # fresh key -> fresh shift
+    b2 = jax.jit(lambda k: dom.interior(k, 128))(jax.random.PRNGKey(6))
+    assert not np.allclose(np.asarray(b2.space), np.asarray(batch.space))
+
+
+def test_cone_boundary_qmc():
+    """Boundary cloud under qmc=halton: points lie exactly on the moving
+    boundary |x| = r(1-t), and the time marginal keeps the 1-D low
+    discrepancy (the inverse CDF is monotone, so mapping the empirical t's
+    back through the forward CDF must recover an even set)."""
+    from xnode_wan_tpu.ops.sampling import NSphereTCone
+
+    d, n_b = 3, 512
+    dom = NSphereTCone(1.0, d, 0.0, 1.0, 8, path_boundary=False, qmc="halton")
+    batch = jax.jit(lambda k: dom.boundary(k, n_b))(jax.random.PRNGKey(9))
+    t = np.asarray(batch.x[:, 0, 0])
+    xs = np.asarray(batch.x[:, 0, 1:])
+    np.testing.assert_allclose(np.linalg.norm(xs, axis=-1), 1.0 - t,
+                               rtol=0, atol=1e-5)
+    d1 = d + 1
+    u = (1.0 - (1.0 - t) ** d1)  # forward CDF (T0=0, T=1: hi=1, lo=0)
+    gaps = np.diff(np.concatenate([[0.0], np.sort(u), [1.0]]))
+    assert gaps.max() < 20.0 / n_b
+    b2 = jax.jit(lambda k: dom.boundary(k, n_b))(jax.random.PRNGKey(10))
+    assert not np.allclose(np.asarray(b2.x), np.asarray(batch.x))
+
+
+def test_hourglass_qmc():
+    from xnode_wan_tpu.ops.sampling import NSphereTHourglass
+
+    d = 3
+    dom = NSphereTHourglass(1.0, d, 0.0, 1.0, 8, path_boundary=False,
+                            qmc="halton")
+    # boundary points sit exactly on the piecewise radius law
+    batch = jax.jit(lambda k: dom.boundary(k, 256))(jax.random.PRNGKey(11))
+    t = np.asarray(batch.x[:, 0, 0])
+    xs = np.asarray(batch.x[:, 0, 1:])
+    np.testing.assert_allclose(np.linalg.norm(xs, axis=-1),
+                               np.asarray(dom.radius_at(jnp.asarray(t))),
+                               rtol=0, atol=1e-5)
+    # both branches of the piecewise CDF are hit
+    assert (t < 0.5).any() and (t > 0.5).any()
+    # interior: support and the 2*N_r two-segment layout are unchanged
+    ib = jax.jit(lambda k: dom.interior(k, 64))(jax.random.PRNGKey(12))
+    assert ib.x.shape[0] == 128
+    rho = np.linalg.norm(np.asarray(ib.space[:, 0, :]), axis=-1)
+    assert rho.max() <= 1.0 + 1e-6
+
+
+def test_qmc_cone_training_step_runs():
+    """One real outer step on the moving domain with qmc=halton."""
+    from xnode_wan_tpu.problems import load_problem
+    from xnode_wan_tpu.training import NODEWANSolver
+
+    cfg = SolverConfig(dim=3, N_t=6, N_r=64, N_b=64, iterations=2,
+                       u_layers=2, v_layers=2, min_steps=2, qmc="halton",
+                       domain="NSphere_TCone", shape_param=1.0)
+    problem = load_problem("Ex4_1_funcs", dim=3)
+    solver = NODEWANSolver(cfg, problem, work_dir="/tmp/qmc_cone_smoke")
+    hist = solver.train(iterations=2)
+    assert np.isfinite(hist["loss_u"]).all()
 
 
 def test_qmc_training_step_runs():

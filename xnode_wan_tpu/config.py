@@ -171,11 +171,13 @@ class SolverConfig:
                                 # error, loud under debug_nans); False takes
                                 # one forced error-unchecked full-span step
                                 # (graceful, tolerance no longer guaranteed)
-    qmc: str = "none"           # "halton": randomized-QMC interior cloud
+    qmc: str = "none"           # "halton": randomized-QMC sample clouds
                                 # (shifted scrambled Halton, ops/qmc.py) —
                                 # same weak-form estimator, lower MC
-                                # variance, zero extra per-step cost.
-                                # Hypercube only; "none" = i.i.d. uniform
+                                # variance, zero extra per-step cost. All
+                                # domains (moving domains map the set
+                                # through their smooth monotone inverse
+                                # CDFs); "none" = i.i.d. uniform
                                 # (reference parity, src/dataset.py:246)
     u_scale: float = 1.0        # model-level output scale: the primal net
                                 # internally sees seed/u_scale and returns
@@ -234,12 +236,6 @@ class SolverConfig:
             raise ValueError("need T > T0")
         if self.qmc not in ("none", "halton"):
             raise ValueError(f"unknown qmc {self.qmc!r}; valid: none, halton")
-        if self.qmc != "none" and self.domain != "Hypercube":
-            raise ValueError(
-                "qmc sampling is currently supported on the Hypercube "
-                "domain only (moving domains sample through geometric "
-                "inverse-CDF transforms; mapping a low-discrepancy set "
-                "through them is future work)")
         if self.independent_uv and self.domain != "Hypercube":
             # The reference only draws independent u/v clouds for
             # single-group (hypercube) domains and clones the points for

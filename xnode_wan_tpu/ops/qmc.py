@@ -89,3 +89,42 @@ def qmc_uniform(key: jax.Array, n: int, dim: int, dtype,
     shift = jax.random.uniform(key, (dim,), dtype=dtype)
     u01 = jnp.mod(base + shift[None, :], 1.0)
     return minval + (maxval - minval) * u01
+
+
+def _gauss_dirs(u: jax.Array) -> jax.Array:
+    """Uniform directions on S^{d-1} from uniform columns ``u [n, d]``.
+
+    Per-coordinate inverse normal CDF then normalization — the standard
+    smooth (monotone per coordinate) QMC map to the sphere; low
+    discrepancy in the cube carries through to the direction measure.
+    ``ndtri`` diverges at {0, 1}: the shifted base never hits 1 exactly
+    but ``mod`` can return an exact 0 — clamp into the open interval.
+    """
+    tiny = 1e-7 if u.dtype == jnp.float32 else 1e-15
+    from jax.scipy.special import ndtri
+    g = ndtri(jnp.clip(u, tiny, 1.0 - tiny))
+    return g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-20)
+
+
+def qmc_ball(key: jax.Array, n: int, dim: int, radius: float,
+             dtype) -> jax.Array:
+    """RQMC uniform draw in the ``dim``-ball of ``radius``.
+
+    ``dim + 1`` shifted-Halton columns: the first ``dim`` map to a
+    direction (``_gauss_dirs``), the last to the radial inverse CDF
+    ``U^{1/d}``. Mirrors ``sampling._ball`` (same off-origin clamp: an
+    exact radial 0 makes ``grad ||x||`` NaN and poisons the loss).
+    """
+    u = qmc_uniform(key, n, dim + 1, dtype)
+    dirs = _gauss_dirs(u[:, :dim])
+    ur = jnp.maximum(u[:, dim:], 1e-6)
+    return radius * dirs * ur ** (1.0 / dim)
+
+
+def qmc_time_sphere(key: jax.Array, n: int, dim: int, dtype):
+    """RQMC pair for moving-domain boundary clouds: a scalar uniform
+    column ``u [n]`` (fed to the caller's time inverse CDF — a monotone
+    map, so the 1-D low discrepancy survives) plus matched directions
+    ``dirs [n, dim]`` from the remaining columns."""
+    u = qmc_uniform(key, n, dim + 1, dtype)
+    return u[:, 0], _gauss_dirs(u[:, 1:])

@@ -304,6 +304,12 @@ class NSphereTCone:
     path_boundary: bool = True
     x64: bool = None  # None: follow the global flag (see _fdtype)
 
+    # "halton": randomized-QMC clouds (ops/qmc.py) — the ball and the
+    # time-marginal inverse CDFs are smooth monotone maps, so the
+    # low-discrepancy structure survives them (same estimator, lower
+    # Monte-Carlo variance).
+    qmc: str = "none"
+
     def __post_init__(self):
         # The radius laws, exit-time inversions, masks and V() below are
         # all written against absolute time with the reference's implicit
@@ -338,7 +344,11 @@ class NSphereTCone:
         kt, kx = jax.random.split(key)
         times = stratified_times(kt, self.T0, self.T, self.N_t,
                                  dtype=self._dt)
-        x = _ball(kx, n_r, self.dim, self.r, dtype=self._dt)
+        if self.qmc == "halton":
+            from xnode_wan_tpu.ops.qmc import qmc_ball
+            x = qmc_ball(kx, n_r, self.dim, self.r, dtype=self._dt)
+        else:
+            x = _ball(kx, n_r, self.dim, self.r, dtype=self._dt)
         # Inside while r(1 - t) > |x|  (reference mask, dataset.py:192-195).
         t_exit = 1.0 - jnp.linalg.norm(x, axis=-1) / self.r
         mask = times[None, :] < t_exit[:, None]
@@ -361,11 +371,15 @@ class NSphereTCone:
         """
         kt, kd = jax.random.split(key)
         d1 = self.dim + 1
-        u = jax.random.uniform(kt, (n_b,), dtype=self._dt)
+        if self.qmc == "halton":
+            from xnode_wan_tpu.ops.qmc import qmc_time_sphere
+            u, dirs = qmc_time_sphere(kt, n_b, self.dim, self._dt)
+        else:
+            u = jax.random.uniform(kt, (n_b,), dtype=self._dt)
+            dirs = _unit_sphere(kd, n_b, self.dim, dtype=self._dt)
         hi = (1.0 - self.T0) ** d1
         lo = (1.0 - self.T) ** d1
         t = 1.0 - (hi - u * (hi - lo)) ** (1.0 / d1)
-        dirs = _unit_sphere(kd, n_b, self.dim, dtype=self._dt)
         x = dirs * (self.r * (1.0 - t))[:, None]
         if not self.path_boundary:
             return PathBatch(
@@ -423,6 +437,9 @@ class NSphereTHourglass:
     # points to their descending-branch exit time instead of supervising
     # g at the true late-time location via a re-entry path (see boundary())
 
+    # "halton": randomized-QMC clouds (see NSphereTCone.qmc)
+    qmc: str = "none"
+
     def __post_init__(self):
         # Same absolute-time assumption as NSphereTCone: mid, radius_at,
         # the boundary inverse-CDF weights and V() all take T0 = 0
@@ -463,7 +480,11 @@ class NSphereTHourglass:
         span = self.T - self.T0
         times = stratified_times(kt, self.T0, self.T, self.N_t,
                                  dtype=self._dt)
-        x = _ball(kx, n_r, self.dim, self.r * span, dtype=self._dt)
+        if self.qmc == "halton":
+            from xnode_wan_tpu.ops.qmc import qmc_ball
+            x = qmc_ball(kx, n_r, self.dim, self.r * span, dtype=self._dt)
+        else:
+            x = _ball(kx, n_r, self.dim, self.r * span, dtype=self._dt)
         rho = jnp.linalg.norm(x, axis=-1)
         never_exits = rho <= self.r * self.mid
         t_exit = jnp.where(never_exits, jnp.inf, span - rho / self.r)
@@ -494,11 +515,19 @@ class NSphereTHourglass:
         # CDF on the descending branch: ((span-T0)^{d+1} - (span-t)^{d+1})/(d+1)
         c_mid = ((span - self.T0) ** d1 - (span - mid) ** d1) / d1
         c_tot = c_mid + (self.T ** d1 - mid ** d1) / d1
-        u = jax.random.uniform(kt, (n_b,), dtype=self._dt) * c_tot
+        if self.qmc == "halton":
+            # the piecewise inverse CDF below is still one monotone map of
+            # the scalar uniform, so QMC structure carries through both
+            # branches
+            from xnode_wan_tpu.ops.qmc import qmc_time_sphere
+            u01, dirs = qmc_time_sphere(kt, n_b, self.dim, self._dt)
+            u = u01 * c_tot
+        else:
+            u = jax.random.uniform(kt, (n_b,), dtype=self._dt) * c_tot
+            dirs = _unit_sphere(kd, n_b, self.dim, dtype=self._dt)
         t_desc = span - ((span - self.T0) ** d1 - u * d1) ** (1.0 / d1)
         t_asc = ((u - c_mid) * d1 + mid ** d1) ** (1.0 / d1)
         t = jnp.where(u <= c_mid, t_desc, t_asc)
-        dirs = _unit_sphere(kd, n_b, self.dim, dtype=self._dt)
         x = dirs * self.radius_at(t)[:, None]
         if not self.path_boundary:
             return PathBatch(
@@ -653,17 +682,11 @@ def make_domain(name: str, shape_param, dim: int, T0: float, T: float,
     if cls is Hypercube:
         return cls(tuple(shape_param), dim, float(T0), float(T), int(N_t),
                    x64=x64, qmc=qmc)
-    if qmc != "none":
-        # Moving domains sample through rejection-free geometric transforms
-        # (ball/cone inverse CDFs); mapping a low-discrepancy set through
-        # them is future work — refuse rather than silently ignore.
-        raise ValueError(
-            f"qmc={qmc!r} is currently supported on the Hypercube domain "
-            f"only (got domain {name!r})")
     if isinstance(shape_param, (tuple, list)):
         shape_param = float(shape_param[-1])
     if cls is NSphereTHourglass:
         return cls(shape_param, dim, float(T0), float(T), int(N_t),
-                   path_boundary=path_boundary, waist_cap=waist_cap, x64=x64)
+                   path_boundary=path_boundary, waist_cap=waist_cap, x64=x64,
+                   qmc=qmc)
     return cls(shape_param, dim, float(T0), float(T), int(N_t),
-               path_boundary=path_boundary, x64=x64)
+               path_boundary=path_boundary, x64=x64, qmc=qmc)
