@@ -1,4 +1,4 @@
-"""Randomized quasi-Monte-Carlo (shifted scrambled Halton) interior sampling.
+"""Randomized quasi-Monte-Carlo (shifted scrambled Halton) sample clouds.
 
 The weak-form objective, its gradients, and the per-iteration relative-L^p
 metric are all Monte-Carlo estimates over a fresh interior cloud
@@ -39,7 +39,8 @@ import numpy as np
 _PRIMES = [2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59,
            61, 67, 71, 73, 79, 83, 89, 97, 101, 103, 107, 109, 113, 127,
            131, 137, 139, 149, 151, 157, 163, 167, 173, 179, 181, 191, 193,
-           197, 199, 211, 223, 227, 229]
+           197, 199, 211, 223, 227, 229, 233]  # 51 primes: covers the
+# d+1 columns qmc_ball needs at the largest (d=50) scenario dimension
 
 
 def _radical_inverse(indices: np.ndarray, base: int) -> np.ndarray:
@@ -58,9 +59,9 @@ def _radical_inverse(indices: np.ndarray, base: int) -> np.ndarray:
 def halton_base(n: int, dim: int) -> np.ndarray:
     """Scrambled-Halton base set ``[n, dim]`` in [0,1) (host, cached).
 
-    Deterministic in (n, dim). Requires ``dim <= 50`` (the largest
-    scenario dimension; extend ``_PRIMES`` past d=50 if ever needed —
-    scipy's own table covers it when available).
+    Deterministic in (n, dim). The scipy-free fallback covers
+    ``dim <= 51`` (d+1 columns at the largest scenario dimension d=50);
+    scipy's own table goes further when available.
     """
     try:
         from scipy.stats import qmc as _sq
