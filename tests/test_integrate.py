@@ -116,7 +116,7 @@ def test_remat_matches_plain():
 
 
 @pytest.mark.parametrize("method,tol", [
-    ("bosh3", 5e-4), ("adaptive_heun", 2e-3)])
+    ("bosh3", 5e-4), ("adaptive_heun", 2e-3), ("fehlberg2", 2e-3)])
 def test_adaptive_method_surface(method, tol):
     # the remaining torchdiffeq adaptive names (src/model.py:103-106):
     # real embedded pairs, not aliases — each meets its requested

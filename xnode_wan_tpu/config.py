@@ -43,7 +43,8 @@ class SolverConfig:
     solver: str = "midpoint"    # fixed-step: euler|midpoint|heun|rk4|
                                 # explicit_adams (AB4)|fixed_adams (ABM4
                                 # PECE); adaptive embedded RK: dopri5|
-                                # bosh3|adaptive_heun — the torchdiffeq
+                                # bosh3|adaptive_heun|fehlberg2 — the
+                                # torchdiffeq
                                 # method surface the reference passes
                                 # through, src/model.py:103-106
 
@@ -214,7 +215,8 @@ class SolverConfig:
             # with mismatched dims (model.py:138) and cannot run; reject it.
             raise ValueError("u_layers must be >= 1")
         valid = ("euler", "midpoint", "heun", "rk4", "explicit_adams",
-                 "fixed_adams", "dopri5", "bosh3", "adaptive_heun")
+                 "fixed_adams", "dopri5", "bosh3", "adaptive_heun",
+                 "fehlberg2")
         if self.solver not in valid:
             hint = ""
             if self.solver in ("adams", "implicit_adams"):
@@ -224,6 +226,9 @@ class SolverConfig:
                         "implemented; 'fixed_adams' is the fixed-step "
                         "predictor-corrector Adams, 'dopri5' the adaptive "
                         "default)")
+            elif self.solver == "dopri8":
+                hint = (" (the 13-stage dopri8 pair is not implemented; "
+                        "'dopri5' is the adaptive default)")
             raise ValueError(
                 f"unknown solver {self.solver!r}; valid: {valid}{hint}")
         if self.ode_max_steps < 1:

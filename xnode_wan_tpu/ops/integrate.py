@@ -82,14 +82,16 @@ _AM = {  # first coefficient multiplies f(t_{k+1}, h_predicted)
 
 FIXED_METHODS = ("euler", "midpoint", "heun", "rk4",
                  "explicit_adams", "fixed_adams")
-ADAPTIVE_METHODS = ("dopri5", "bosh3", "adaptive_heun")
+ADAPTIVE_METHODS = ("dopri5", "bosh3", "adaptive_heun", "fehlberg2")
 
 # Embedded Runge-Kutta tableaus for the adaptive integrator:
 # (c nodes, A rows, b_high, b_low, controller order). dopri5 is
 # Dormand-Prince 5(4) — torchdiffeq's default adaptive method; bosh3 is
-# Bogacki-Shampine 3(2); adaptive_heun is the Heun-Euler 2(1) pair —
-# the remaining torchdiffeq adaptive method names the reference's config
-# string reaches (src/model.py:103-106).
+# Bogacki-Shampine 3(2); adaptive_heun is the Heun-Euler 2(1) pair;
+# fehlberg2 is Fehlberg's RK2(1) triple — the torchdiffeq adaptive
+# method names the reference's config string reaches
+# (src/model.py:103-106). dopri8 (the 13-stage DP8(7) pair) is the one
+# adaptive name not implemented; config rejects it with a hint.
 _TABLEAUS = {
     "dopri5": (
         (0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0),
@@ -119,6 +121,13 @@ _TABLEAUS = {
         ((), (1.0,)),
         (1 / 2, 1 / 2),
         (1.0, 0.0),
+        2,
+    ),
+    "fehlberg2": (
+        (0.0, 1 / 2, 1.0),
+        ((), (1 / 2,), (1 / 256, 255 / 256)),
+        (1 / 512, 255 / 256, 1 / 512),
+        (1 / 256, 255 / 256, 0.0),
         2,
     ),
 }
