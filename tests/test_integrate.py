@@ -116,7 +116,8 @@ def test_remat_matches_plain():
 
 
 @pytest.mark.parametrize("method,tol", [
-    ("bosh3", 5e-4), ("adaptive_heun", 2e-3), ("fehlberg2", 2e-3)])
+    ("bosh3", 5e-4), ("adaptive_heun", 2e-3), ("fehlberg2", 2e-3),
+    ("dopri8", 1e-4)])
 def test_adaptive_method_surface(method, tol):
     # the remaining torchdiffeq adaptive names (src/model.py:103-106):
     # real embedded pairs, not aliases — each meets its requested
@@ -236,3 +237,36 @@ def test_adaptive_strict_flags_budget_exhaustion():
                             rtol=1e-3, atol=1e-4, max_steps=64,
                             strict=True)
     assert bool(jnp.isfinite(ok).all())
+
+
+def test_dopri8_tableau_consistency():
+    # The 8th-order pair is imported from scipy's published DOP853
+    # tables, not transcribed — still, guard the assembly: weights are
+    # order-1 consistent, rows sum to the nodes, and the embedded
+    # difference (the error weights) sums to zero.
+    from xnode_wan_tpu.ops.integrate import _tableau
+    cs, rows, b_hi, b_lo, order = _tableau("dopri8")
+    assert len(cs) == len(rows) == len(b_hi) == len(b_lo) == 12
+    assert order == 6
+    assert sum(b_hi) == pytest.approx(1.0, abs=1e-12)
+    assert sum(b_lo) == pytest.approx(1.0, abs=1e-12)
+    assert sum(bh - bl for bh, bl in zip(b_hi, b_lo)) == pytest.approx(
+        0.0, abs=1e-12)
+    for c, row in zip(cs, rows):
+        assert sum(row) == pytest.approx(c, abs=1e-12)
+
+
+def test_dopri8_nonlinear_vs_fine_rk4():
+    # The high-order pair on the same non-autonomous nonlinear problem
+    # as the dopri5 test, at the same tolerances.
+    field = lambda t, h: jnp.sin(3.0 * t)[:, None] * h - 0.5 * h ** 2
+    h0 = jnp.full((2, 2), 0.8)
+    times = _grid(2, 6)
+    mask = jnp.ones((2, 6), bool)
+    ref = integrate(field, h0, times, jnp.zeros(2), mask, n_sub=64,
+                    method="rk4")
+    got = integrate_adaptive(field, h0, times, jnp.zeros(2), mask,
+                             rtol=1e-6, atol=1e-8, max_steps=24,
+                             method="dopri8")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)

@@ -43,10 +43,10 @@ class SolverConfig:
     solver: str = "midpoint"    # fixed-step: euler|midpoint|heun|rk4|
                                 # explicit_adams (AB4)|fixed_adams (ABM4
                                 # PECE); adaptive embedded RK: dopri5|
-                                # bosh3|adaptive_heun|fehlberg2 — the
-                                # torchdiffeq
-                                # method surface the reference passes
-                                # through, src/model.py:103-106
+                                # bosh3|adaptive_heun|fehlberg2|dopri8 —
+                                # the torchdiffeq method surface the
+                                # reference passes through,
+                                # src/model.py:103-106
 
     # --- "setup" block (reference src/training.py:82) ---
     dim: int = 5
@@ -216,7 +216,7 @@ class SolverConfig:
             raise ValueError("u_layers must be >= 1")
         valid = ("euler", "midpoint", "heun", "rk4", "explicit_adams",
                  "fixed_adams", "dopri5", "bosh3", "adaptive_heun",
-                 "fehlberg2")
+                 "fehlberg2", "dopri8")
         if self.solver not in valid:
             hint = ""
             if self.solver in ("adams", "implicit_adams"):
@@ -226,9 +226,6 @@ class SolverConfig:
                         "implemented; 'fixed_adams' is the fixed-step "
                         "predictor-corrector Adams, 'dopri5' the adaptive "
                         "default)")
-            elif self.solver == "dopri8":
-                hint = (" (the 13-stage dopri8 pair is not implemented; "
-                        "'dopri5' is the adaptive default)")
             raise ValueError(
                 f"unknown solver {self.solver!r}; valid: {valid}{hint}")
         if self.ode_max_steps < 1:

@@ -82,16 +82,18 @@ _AM = {  # first coefficient multiplies f(t_{k+1}, h_predicted)
 
 FIXED_METHODS = ("euler", "midpoint", "heun", "rk4",
                  "explicit_adams", "fixed_adams")
-ADAPTIVE_METHODS = ("dopri5", "bosh3", "adaptive_heun", "fehlberg2")
+ADAPTIVE_METHODS = ("dopri5", "bosh3", "adaptive_heun", "fehlberg2",
+                    "dopri8")
 
 # Embedded Runge-Kutta tableaus for the adaptive integrator:
-# (c nodes, A rows, b_high, b_low, controller order). dopri5 is
+# (c nodes, A rows, b_high, b_low, controller order — the error
+# order, so the step controller exponent is 1/order). dopri5 is
 # Dormand-Prince 5(4) — torchdiffeq's default adaptive method; bosh3 is
 # Bogacki-Shampine 3(2); adaptive_heun is the Heun-Euler 2(1) pair;
-# fehlberg2 is Fehlberg's RK2(1) triple — the torchdiffeq adaptive
-# method names the reference's config string reaches
-# (src/model.py:103-106). dopri8 (the 13-stage DP8(7) pair) is the one
-# adaptive name not implemented; config rejects it with a hint.
+# fehlberg2 is Fehlberg's RK2(1) triple; dopri8 (built lazily below) is
+# Hairer's 12-stage 8th-order Dormand-Prince pair — the full torchdiffeq
+# adaptive method-name surface the reference's config string reaches
+# (src/model.py:103-106).
 _TABLEAUS = {
     "dopri5": (
         (0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0),
@@ -133,6 +135,34 @@ _TABLEAUS = {
 }
 
 
+def _dop853_tableau():
+    """torchdiffeq's ``dopri8``: Hairer's 8th-order Dormand-Prince pair.
+
+    The 12 integration stages and the 8th-order weights ``B`` come from
+    scipy's published DOP853 coefficient tables (78 rationals — imported,
+    not transcribed); the embedded lower-order solution is ``B - E5``,
+    scipy's 5th-order error-estimator row (``E5[12] = 0``, so the error
+    never touches the FSAL stage and the pair fits the generic 12-stage
+    tableau). Error ~ O(h^6) -> controller order 6. This is the same
+    8(5) accept/reject pair scipy's DOP853 steps with (scipy adds a
+    3rd-order correction term for stiffness robustness; torchdiffeq's
+    dopri8 likewise runs a plain embedded estimate).
+    """
+    from scipy.integrate._ivp import dop853_coefficients as dc
+    n = int(dc.N_STAGES)  # 12
+    cs = tuple(float(c) for c in dc.C[:n])
+    rows = tuple(tuple(float(a) for a in dc.A[i, :i]) for i in range(n))
+    b_hi = tuple(float(b) for b in dc.B)
+    b_lo = tuple(b - float(e) for b, e in zip(b_hi, dc.E5[:n]))
+    return cs, rows, b_hi, b_lo, 6
+
+
+def _tableau(method: str):
+    if method == "dopri8" and "dopri8" not in _TABLEAUS:
+        _TABLEAUS["dopri8"] = _dop853_tableau()
+    return _TABLEAUS[method]
+
+
 def _embedded_step(tableau, field: Field, t, h, dt):
     """One embedded RK step; returns (h_high, error_estimate)."""
     cs, rows, b_hi, b_lo, _ = tableau
@@ -172,11 +202,12 @@ def integrate_adaptive(
     ``while_loop`` — reverse-mode differentiable and one fixed XLA
     program; finished paths idle under the mask). ``method`` selects the
     embedded pair — ``dopri5`` (RK5(4)), ``bosh3`` (RK3(2)),
-    ``adaptive_heun`` (RK2(1)) — the torchdiffeq adaptive method surface
-    the reference exposes (``src/model.py:103-106``); tolerances via
+    ``adaptive_heun`` (RK2(1)), ``fehlberg2`` (RK2(1)), ``dopri8``
+    (Hairer's RK8(5)) — the torchdiffeq adaptive method surface the
+    reference exposes (``src/model.py:103-106``); tolerances via
     config (``ode_rtol``/``ode_atol``/``ode_max_steps``).
     """
-    tableau = _TABLEAUS[method]
+    tableau = _tableau(method)
     inv_order = 1.0 / tableau[4]
 
     def interval(h, t0v, t1v):
