@@ -239,9 +239,25 @@ def test_adaptive_strict_flags_budget_exhaustion():
     assert bool(jnp.isfinite(ok).all())
 
 
+def test_dopri8_vendored_literals_match_scipy():
+    # The DOP853 coefficients are vendored so the solver carries no
+    # scipy dependency (scipy's table lives in a private module that may
+    # move between releases); when scipy IS available, require the
+    # vendored literals to be bit-exact against its published values.
+    dc = pytest.importorskip("scipy.integrate._ivp.dop853_coefficients")
+    from xnode_wan_tpu.ops.integrate import (_DOP853_A, _DOP853_B,
+                                             _DOP853_C, _DOP853_E5)
+    n = int(dc.N_STAGES)
+    assert _DOP853_C == tuple(float(c) for c in dc.C[:n])
+    assert _DOP853_A == tuple(
+        tuple(float(a) for a in dc.A[i, :i]) for i in range(n))
+    assert _DOP853_B == tuple(float(b) for b in dc.B)
+    assert _DOP853_E5 == tuple(float(e) for e in dc.E5[:n])
+
+
 def test_dopri8_tableau_consistency():
-    # The 8th-order pair is imported from scipy's published DOP853
-    # tables, not transcribed — still, guard the assembly: weights are
+    # The 8th-order pair is Hairer's published DOP853 table (vendored),
+    # not transcribed by hand — still, guard the assembly: weights are
     # order-1 consistent, rows sum to the nodes, and the embedded
     # difference (the error weights) sums to zero.
     from xnode_wan_tpu.ops.integrate import _tableau

@@ -84,3 +84,44 @@ def test_fused_handles_nonmultiple_block(key):
     out = fused_evaluate(params, pts, seed, 4, interpret=True)
     assert out.shape == (3,)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_shared_stepper_rejects_unknown_method():
+    # One stepper source for both fused kernels (ops/pallas/steppers.py):
+    # unknown method names raise everywhere — the eval kernel used to
+    # silently substitute midpoint (e.g. for the Adams multisteps, whose
+    # serving now stays on the XLA path so outputs match across
+    # backends; see evaluate_points' gate).
+    import pytest
+
+    from xnode_wan_tpu.ops.pallas.steppers import (FUSED_KERNEL_METHODS,
+                                                   rk_step)
+    assert "fixed_adams" not in FUSED_KERNEL_METHODS
+    assert "explicit_adams" not in FUSED_KERNEL_METHODS
+    with pytest.raises(ValueError, match="fixed_adams"):
+        rk_step("fixed_adams", lambda t, h: h, 0.0, 0.1, jnp.ones(2))
+
+
+def test_fused_gate_single_predicate():
+    # weak_form.fused_gate is the one eligibility predicate shared by the
+    # loss builder and the metric forward: multistep/adaptive solvers are
+    # out regardless of backend, and mesh_ok tracks the data-axis layout.
+    from jax.sharding import Mesh
+
+    from xnode_wan_tpu.ops.weak_form import fused_gate
+
+    base = dict(dim=3, N_t=4, N_r=8, N_b=8, shape_param=(-1.0, 1.0))
+    for solver in ("fixed_adams", "explicit_adams", "dopri5", "dopri8"):
+        use, fmesh, _ = fused_gate(SolverConfig(solver=solver, **base),
+                                   None)
+        assert not use and fmesh is None
+
+    devs = np.array(jax.devices()[:1]).reshape(1)
+    mesh = Mesh(devs, ("data",))
+    _, fmesh, mesh_ok = fused_gate(SolverConfig(**base), mesh)
+    assert mesh_ok and fmesh is mesh
+    _, fmesh, mesh_ok = fused_gate(SolverConfig(ensemble=2, **base), mesh)
+    assert not mesh_ok and fmesh is None
+    other = Mesh(devs, ("member",))
+    _, fmesh, mesh_ok = fused_gate(SolverConfig(**base), other)
+    assert not mesh_ok and fmesh is None

@@ -190,7 +190,7 @@ def test_wan_baseline_trains(problem, tmp_path):
     assert np.isfinite(m["loss_u"]) and np.isfinite(m["rel_err"])
 
 
-def test_train_until_single_dispatch(problem, tmp_path):
+def test_train_until_basic(problem, tmp_path):
     import dataclasses
     easy = dataclasses.replace(problem, stop_rel_err=0.5)
     solver = NODEWANSolver(SMALL, easy, work_dir=str(tmp_path))
@@ -201,6 +201,25 @@ def test_train_until_single_dispatch(problem, tmp_path):
     # trajectory buffers trimmed to the executed prefix and finite
     assert len(hist["rel_err"]) == iters
     assert np.isfinite(hist["loss_u"]).all()
+    # ONE compiled program serves every dispatch length (the cap is a
+    # dynamic operand): the cold 8-iteration probe and the budget-sized
+    # follow-ups must not each compile their own window program.
+    assert len(solver._train_until_cache) == 1
+
+
+def test_train_until_dispatch_boundaries_invariant(problem, tmp_path):
+    # The per-dispatch iteration cap (cold probe, then sized from
+    # measured per-iteration time) only decides where the device program
+    # returns to the host — the training trajectory must be bit-identical
+    # across buffer/dispatch layouts, since the carried state is the same
+    # step stream either way.
+    s1 = NODEWANSolver(SMALL, problem, work_dir=str(tmp_path / "a"))
+    h1 = s1.train_until(1e-9, 20, window=20)
+    s2 = NODEWANSolver(SMALL, problem, work_dir=str(tmp_path / "b"))
+    h2 = s2.train_until(1e-9, 20, window=5)
+    assert h1["iterations_run"] == h2["iterations_run"] == 20
+    np.testing.assert_array_equal(h1["rel_err"], h2["rel_err"])
+    np.testing.assert_array_equal(h1["loss_u"], h2["loss_u"])
 
 
 def test_train_chunked_matches_per_iteration(problem, tmp_path):

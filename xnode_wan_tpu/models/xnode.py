@@ -153,10 +153,14 @@ def evaluate_points(params: Dict[str, Any], pts: jax.Array, problem,
     scale = cfg.u_scale if cfg.u_scale > 0 else 1.0
     # Fused serving kernel: covers Fourier-feature configs too (the bank
     # is frozen per point, computed here, carried as extra feature rows).
-    # Remaining exclusions: x64 parity runs and the adaptive solvers
-    # (the kernel takes k_steps*n_sub fine fixed steps).
+    # Remaining exclusions: x64 parity runs, the adaptive solvers (the
+    # kernel takes k_steps*n_sub fine fixed steps) and the Adams
+    # multisteps (their histories don't map onto the kernel's step loop
+    # — the XLA path below keeps the configured integrator so outputs
+    # match across backends).
+    from xnode_wan_tpu.ops.pallas.steppers import FUSED_KERNEL_METHODS
     if (cfg.use_pallas and not cfg.x64
-            and cfg.solver not in ADAPTIVE_METHODS
+            and cfg.solver in FUSED_KERNEL_METHODS
             and jax.default_backend() == "tpu"):
         from xnode_wan_tpu.ops.pallas.xnode_eval import fused_evaluate
         pts0 = pts.at[:, 0].set(cfg.T0)
@@ -164,14 +168,9 @@ def evaluate_points(params: Dict[str, Any], pts: jax.Array, problem,
         seed = jnp.where(seed_from_h, problem.h(pts0),
                          problem.g(entry_pts)) / scale
         feats = spatial_features(pts[:, 1:], cfg.fourier_features)
-        # multistep (Adams) histories don't map onto the kernel's step
-        # loop; their serving integration uses the midpoint fine grid
-        method = (cfg.solver if cfg.solver in ("euler", "midpoint",
-                                               "heun", "rk4")
-                  else "midpoint")
         return fused_evaluate(params, pts, seed, k_steps * cfg.n_sub,
                               t_start=t_entry, feats=feats,
-                              method=method) * scale
+                              method=cfg.solver) * scale
     m = pts.shape[0]
     t = pts[:, 0]
     frac = jnp.linspace(0.0, 1.0, k_steps + 1, dtype=pts.dtype)

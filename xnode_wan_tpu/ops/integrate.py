@@ -135,26 +135,67 @@ _TABLEAUS = {
 }
 
 
+# Hairer's DOP853 coefficients, vendored at full f64 precision so the
+# solver has no scipy dependency (the literals were generated from
+# scipy.integrate._ivp.dop853_coefficients — a private module whose
+# layout may move between scipy releases — and are cross-checked against
+# it when scipy is present, tests/test_integrate.py).
+_DOP853_C = (
+    0.0, 0.05260015195876773, 0.0789002279381516, 0.1183503419072274,
+    0.2816496580927726, 0.3333333333333333, 0.25, 0.3076923076923077,
+    0.6512820512820513, 0.6, 0.8571428571428571, 1.0,
+)
+_DOP853_A = (
+    (),
+    (0.05260015195876773,),
+    (0.0197250569845379, 0.0591751709536137),
+    (0.02958758547680685, 0.0, 0.08876275643042054),
+    (0.2413651341592667, 0.0, -0.8845494793282861, 0.924834003261792),
+    (0.037037037037037035, 0.0, 0.0, 0.17082860872947386,
+     0.12546768756682242),
+    (0.037109375, 0.0, 0.0, 0.17025221101954405, 0.06021653898045596,
+     -0.017578125),
+    (0.03709200011850479, 0.0, 0.0, 0.17038392571223998,
+     0.10726203044637328, -0.015319437748624402, 0.008273789163814023),
+    (0.6241109587160757, 0.0, 0.0, -3.3608926294469414, -0.868219346841726,
+     27.59209969944671, 20.154067550477894, -43.48988418106996),
+    (0.47766253643826434, 0.0, 0.0, -2.4881146199716677, -0.590290826836843,
+     21.230051448181193, 15.279233632882423, -33.28821096898486,
+     -0.020331201708508627),
+    (-0.9371424300859873, 0.0, 0.0, 5.186372428844064, 1.0914373489967295,
+     -8.149787010746927, -18.52006565999696, 22.739487099350505,
+     2.4936055526796523, -3.0467644718982196),
+    (2.273310147516538, 0.0, 0.0, -10.53449546673725, -2.0008720582248625,
+     -17.9589318631188, 27.94888452941996, -2.8589982771350235,
+     -8.87285693353063, 12.360567175794303, 0.6433927460157636),
+)
+_DOP853_B = (
+    0.054293734116568765, 0.0, 0.0, 0.0, 0.0, 4.450312892752409,
+    1.8915178993145003, -5.801203960010585, 0.3111643669578199,
+    -0.1521609496625161, 0.20136540080403034, 0.04471061572777259,
+)
+_DOP853_E5 = (
+    0.01312004499419488, 0.0, 0.0, 0.0, 0.0, -1.2251564463762044,
+    -0.4957589496572502, 1.6643771824549864, -0.35032884874997366,
+    0.3341791187130175, 0.08192320648511571, -0.022355307863886294,
+)
+
+
 def _dop853_tableau():
     """torchdiffeq's ``dopri8``: Hairer's 8th-order Dormand-Prince pair.
 
-    The 12 integration stages and the 8th-order weights ``B`` come from
-    scipy's published DOP853 coefficient tables (78 rationals — imported,
-    not transcribed); the embedded lower-order solution is ``B - E5``,
-    scipy's 5th-order error-estimator row (``E5[12] = 0``, so the error
-    never touches the FSAL stage and the pair fits the generic 12-stage
-    tableau). Error ~ O(h^6) -> controller order 6. This is the same
-    8(5) accept/reject pair scipy's DOP853 steps with (scipy adds a
-    3rd-order correction term for stiffness robustness; torchdiffeq's
-    dopri8 likewise runs a plain embedded estimate).
+    The 12 integration stages and the 8th-order weights ``B`` are
+    Hairer's published DOP853 coefficient tables (vendored above); the
+    embedded lower-order solution is ``B - E5``, the 5th-order
+    error-estimator row (``E5[12] = 0``, so the error never touches the
+    FSAL stage and the pair fits the generic 12-stage tableau).
+    Error ~ O(h^6) -> controller order 6. This is the same 8(5)
+    accept/reject pair scipy's DOP853 steps with (scipy adds a 3rd-order
+    correction term for stiffness robustness; torchdiffeq's dopri8
+    likewise runs a plain embedded estimate).
     """
-    from scipy.integrate._ivp import dop853_coefficients as dc
-    n = int(dc.N_STAGES)  # 12
-    cs = tuple(float(c) for c in dc.C[:n])
-    rows = tuple(tuple(float(a) for a in dc.A[i, :i]) for i in range(n))
-    b_hi = tuple(float(b) for b in dc.B)
-    b_lo = tuple(b - float(e) for b, e in zip(b_hi, dc.E5[:n]))
-    return cs, rows, b_hi, b_lo, 6
+    b_lo = tuple(b - e for b, e in zip(_DOP853_B, _DOP853_E5))
+    return _DOP853_C, _DOP853_A, _DOP853_B, b_lo, 6
 
 
 def _tableau(method: str):

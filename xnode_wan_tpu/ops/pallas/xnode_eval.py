@@ -32,6 +32,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from xnode_wan_tpu.ops.pallas.steppers import rk_step
+
 BLOCK = 16384  # override via module attr; _pick_block guards VMEM
 
 
@@ -87,21 +89,7 @@ def _kernel(n_lift: int, n_field: int, k_steps: int, method: str,
     dt = (t_target - t_start) / k_steps  # [1, B]
 
     def step(k, hh):
-        t = t_start + k * dt
-        if method == "euler":
-            return hh + dt * field(t, hh)
-        if method == "heun":
-            k1 = field(t, hh)
-            return hh + 0.5 * dt * (k1 + field(t + dt, hh + dt * k1))
-        if method == "rk4":
-            k1 = field(t, hh)
-            k2 = field(t + 0.5 * dt, hh + 0.5 * dt * k1)
-            k3 = field(t + 0.5 * dt, hh + 0.5 * dt * k2)
-            k4 = field(t + dt, hh + dt * k3)
-            return hh + dt * (k1 + 2 * k2 + 2 * k3 + k4) / 6.0
-        # midpoint (default)
-        k1 = field(t, hh)
-        return hh + dt * field(t + 0.5 * dt, hh + 0.5 * dt * k1)
+        return rk_step(method, field, t_start + k * dt, dt, hh)
 
     h = jax.lax.fori_loop(0, k_steps, step, h)
     out_ref[:] = dot(*readout, h)       # [1, B]

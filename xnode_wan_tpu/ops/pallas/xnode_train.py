@@ -53,6 +53,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from xnode_wan_tpu.ops.pallas.steppers import rk_step
+
 # ---------------------------------------------------------------------------
 # Shared math: the joint primal+tangent network, written on VALUES so both
 # kernels (and jax.vjp inside the backward kernel) trace the same function.
@@ -316,23 +318,7 @@ def _interval_p(ws_field, xp, h, t0, dt, n_sub: int, method: str):
         return _field_fwd(ws_field, xp, t, hh)
 
     for k in range(n_sub):
-        t = t0 + k * dt
-        if method == "euler":
-            h = h + dt * f(t, h)
-        elif method == "midpoint":
-            k1 = f(t, h)
-            h = h + dt * f(t + 0.5 * dt, h + 0.5 * dt * k1)
-        elif method == "heun":
-            k1 = f(t, h)
-            h = h + 0.5 * dt * (k1 + f(t + dt, h + dt * k1))
-        elif method == "rk4":
-            k1 = f(t, h)
-            k2 = f(t + 0.5 * dt, h + 0.5 * dt * k1)
-            k3 = f(t + 0.5 * dt, h + 0.5 * dt * k2)
-            k4 = f(t + dt, h + dt * k3)
-            h = h + dt * (k1 + 2 * k2 + 2 * k3 + k4) / 6.0
-        else:  # pragma: no cover - validated in config
-            raise ValueError(method)
+        h = rk_step(method, f, t0 + k * dt, dt, h)
     return h
 
 
@@ -406,8 +392,13 @@ def u_forward_fused(params, batch, problem, cfg, interpret: bool = False,
 
     N, F = feats.shape
     L = batch.times.shape[1]
-    block = 2048
+    # Size the lane block to the per-shard batch (capped at 2048): the
+    # forward-only live set is tiny, so VMEM never binds here, but a
+    # fixed 2048 would pad e.g. an N=4000 metric batch on an 8-device
+    # mesh to 16384 lanes — 4x wasted step-loop work every iteration.
     n_shards = 1 if mesh is None else int(mesh.shape[data_axis])
+    per_shard = -(-N // n_shards)
+    block = min(2048, -(-per_shard // 128) * 128)
     n_pad = -(-N // (block * n_shards)) * (block * n_shards)
     n_lift, n_field = len(params["lift"]), len(params["field"])
 

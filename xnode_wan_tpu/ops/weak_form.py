@@ -47,6 +47,38 @@ from xnode_wan_tpu.ops.coefficients import diffusion_term, drift_term
 from xnode_wan_tpu.ops.sampling import PathBatch, _assemble
 
 
+# Fixed-step schemes the fused Pallas kernels implement — single source
+# in ops/pallas/steppers.py (re-exported here for gate callers).
+from xnode_wan_tpu.ops.pallas.steppers import FUSED_KERNEL_METHODS
+
+
+def fused_gate(cfg: SolverConfig, mesh):
+    """The single eligibility predicate for the fused Pallas training
+    kernel (``ops/pallas/xnode_train.py``) — shared by the loss builder
+    below and the per-iteration metric forward (``training.py``) so the
+    two paths can never drift.
+
+    Returns ``(use_fused, fused_mesh, mesh_ok)``. Under a device mesh
+    the kernel runs per-device via ``jax.shard_map`` over the data axis
+    (paths shard, weights replicate, parameter cotangents psum) — that
+    requires a plain data layout, so ``mesh_ok`` is False for
+    ensemble > 1 (the step is vmapped over members; shard_map does not
+    nest under that vmap — members already fill the idle MXU) and for
+    meshes without the data axis. Other exclusions: x64 parity runs,
+    adaptive/multistep solvers, the WAN primal (the kernel bakes the
+    XNODE architecture), and non-TPU backends.
+    """
+    fused_mesh = None
+    mesh_ok = mesh is None
+    if (mesh is not None and cfg.ensemble == 1
+            and cfg.data_axis in mesh.axis_names):
+        fused_mesh, mesh_ok = mesh, True
+    use_fused = (cfg.primal == "xnode" and cfg.fused_grad and not cfg.x64
+                 and cfg.solver in FUSED_KERNEL_METHODS
+                 and mesh_ok and jax.default_backend() == "tpu")
+    return use_fused, fused_mesh, mesh_ok
+
+
 def u_with_spatial_grad(u_apply: Callable, u_params, batch: PathBatch,
                         problem, cfg: SolverConfig, tangent_sharding=None
                         ) -> Tuple[jax.Array, jax.Array]:
@@ -329,21 +361,9 @@ def make_losses(problem, domain, cfg: SolverConfig, u_apply: Callable,
 
     # Fused Pallas (u, grad_x u) + custom-VJP kernel on the TPU hot path
     # (ops/pallas/xnode_train.py): one kernel per direction instead of
-    # ~360 HBM-round-tripping matmuls. Under a device mesh the kernel runs
-    # per-device via jax.shard_map over the data axis (paths shard, weights
-    # replicate, parameter cotangents psum) — multi-chip keeps the fast
-    # path. Exclusions: x64 parity runs, dopri5 (adaptive stepping), the
-    # WAN primal (the kernel bakes the XNODE architecture), and
-    # ensemble > 1 (the step is vmapped over members; shard_map does not
-    # nest under that vmap — members already fill the idle MXU).
-    fused_mesh = None
-    mesh_ok = mesh is None
-    if (mesh is not None and cfg.ensemble == 1
-            and cfg.data_axis in mesh.axis_names):
-        fused_mesh, mesh_ok = mesh, True
-    use_fused = (cfg.primal == "xnode" and cfg.fused_grad and not cfg.x64
-                 and cfg.solver in ("euler", "midpoint", "heun", "rk4")
-                 and mesh_ok and jax.default_backend() == "tpu")
+    # ~360 HBM-round-tripping matmuls. Eligibility (incl. multi-chip
+    # shard_map composition and its exclusions) lives in fused_gate above.
+    use_fused, fused_mesh, mesh_ok = fused_gate(cfg, mesh)
     # The adversary-side fused kernel (disc_train.py) is OPT-IN
     # (fused_v: true): measured slower than the XLA vmap(value_and_grad)
     # path on the d=5 hot step (6.56 vs 6.13 ms — launch overhead beats

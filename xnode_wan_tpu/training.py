@@ -38,7 +38,7 @@ from xnode_wan_tpu.models.discriminator import (apply_discriminator,
 from xnode_wan_tpu.models import wan as wan_model
 from xnode_wan_tpu.models import xnode as xnode_model
 from xnode_wan_tpu.ops.sampling import make_domain
-from xnode_wan_tpu.ops.weak_form import make_losses
+from xnode_wan_tpu.ops.weak_form import fused_gate, make_losses
 from xnode_wan_tpu.parallel.mesh import make_mesh, round_up, shard_batch
 from xnode_wan_tpu.problems import Problem, from_reference_callables
 from xnode_wan_tpu.utils import checkpoint as ckpt
@@ -220,15 +220,9 @@ class NODEWANSolver:
         # the XLA scan forward costs ~1.1 ms of the d=5 outer step
         # (benchmarks/profile_d5.json) vs ~0.2 ms primal-only fused.
         self._metric_u_apply = self._u_apply
-        _mesh_ok = (self.mesh is None
-                    or (cfg.ensemble == 1
-                        and cfg.data_axis in self.mesh.axis_names))
-        if (cfg.primal == "xnode" and cfg.fused_grad and not cfg.x64
-                and cfg.solver in ("euler", "midpoint", "heun", "rk4")
-                and _mesh_ok and jax.default_backend() == "tpu"):
+        _use_fused, _fused_mesh, _ = fused_gate(cfg, self.mesh)
+        if _use_fused:
             from xnode_wan_tpu.ops.pallas.xnode_train import u_forward_fused
-            _fused_mesh = self.mesh if (
-                self.mesh is not None and cfg.ensemble == 1) else None
 
             def _metric_apply(params, b, problem, cfg2):
                 return u_forward_fused(params, b, problem, cfg2,
@@ -623,13 +617,16 @@ class NODEWANSolver:
 
         ``lax.while_loop`` over the outer step with the reference's stop
         criterion (``rel_err < tol``, reference ``configs/Ex4_1_funcs.py:36``)
-        evaluated on-device, in windows of at most ``window`` iterations —
-        one dispatch and one tiny host fetch per window. (A window caps
-        single-program runtime: multi-minute device programs trip
-        execution watchdogs — observed as 'TPU worker crashed' on long
-        d=20 runs — and bound the trajectory-buffer size. The window is
-        halved whenever a full window overruns ``window_target_s``,
-        defaulting to ``cfg.window_target_s``.)
+        evaluated on-device, in dispatches of at most ``window``
+        iterations — one device program and one tiny host fetch per
+        dispatch. The per-dispatch iteration cap is a dynamic operand of
+        a single compiled program: the first dispatch is a short cold
+        probe (it also pays the compile), then each dispatch is sized
+        from the measured per-iteration time to fit ``window_target_s``
+        (default ``cfg.window_target_s``) — multi-minute device programs
+        trip execution watchdogs ('TPU worker crashed', observed on the
+        dopri5 scenario and long d=20 runs). ``window`` bounds the
+        trajectory-buffer size.
         Records the per-iteration (loss_u, L2, rel_err) trajectory.
         Requires the problem to ship an exact solution.
         """
@@ -650,20 +647,27 @@ class NODEWANSolver:
         best_rel = float("inf")
         best_seen = (float("inf"), None)  # (window-end rel, u_params copy)
         chunks = {"loss_u": [], "L2": [], "rel_err": []}
-        # Window sizes whose program has already executed once: the first
-        # invocation of each freshly built program pays the (multi-minute
-        # at d=20) XLA compile, which must not count against the
-        # window_target_s execution budget — otherwise every halving
-        # triggers a fresh compile that itself overruns the budget and
-        # cascades the window down to the floor.
-        warm_windows = set()
+        # Per-dispatch iteration cap — a DYNAMIC operand of the compiled
+        # window program (see _build_train_until), so resizing it never
+        # recompiles. Starts at a small cold probe: the first dispatch
+        # carries the (multi-minute at d=20) XLA compile AND an unknown
+        # step time, so it must not also run a full window — a 200-iter
+        # window under the ~4 s/iter dopri5 step is a ~13-minute single
+        # device program, which the axon relay's execution watchdog kills
+        # ('TPU worker crashed'). After each dispatch the measured
+        # per-iteration time sizes the next cap to fit window_target_s.
+        # (The cold dispatch's timing includes compile and therefore
+        # undersizes the next cap — one extra short dispatch, after which
+        # the warm timing takes over; erring small is the safe side of
+        # the watchdog.)
+        cap = min(8, window)
         t_train0 = time.time()
         while done < max_iters and rel > rel_tol:
-            was_warm = window in warm_windows
+            cap_used = min(cap, max_iters - done)
             t0 = time.time()
             self.state, k_dev, rel_dev, hist = get_run(window)(
-                self.state, jnp.asarray(rel_tol, jnp.float32))
-            warm_windows.add(window)
+                self.state, jnp.asarray(rel_tol, jnp.float32),
+                jnp.asarray(cap_used, jnp.int32))
             # ONE device fetch per window: under the axon relay every
             # device_get pays a ~28 ms round-trip floor, so separate
             # int(k)/float(rel)/get(hist) fetches tripled the per-window
@@ -676,6 +680,8 @@ class NODEWANSolver:
             done += k
             if k == 0:
                 break
+            per_iter = (time.time() - t0) / k
+            cap = int(min(window, max(8, window_target_s / per_iter)))
             if self.cfg.ensemble > 1:
                 self._best_member = int(h["best_member"][k - 1])
             # Adversarial training can destabilize late (observed on the
@@ -685,11 +691,6 @@ class NODEWANSolver:
             if rel < best_seen[0]:
                 best_seen = (rel, jax.tree.map(jnp.copy,
                                                self._u_params_for_eval()))
-            # full window overran the per-program budget: halve it
-            # (only once this window's program is warm — see warm_windows)
-            if (k == window and window > 8 and was_warm
-                    and time.time() - t0 > window_target_s):
-                window = max(8, window // 2)
             # Adversarial-stall self-healing: WAN training occasionally
             # locks into a bad min-max basin (seed-dependent; observed at
             # d=20, where ~1/3 of seeds stall at ~30% rel while the rest
@@ -700,7 +701,7 @@ class NODEWANSolver:
             # (``ensemble`` is the *principled* multi-start and supersedes
             # these heuristics — per-member healing doesn't apply.)
             window_min = float(h["rel_err"][:k].min())
-            stalled = (k == window and self.cfg.ensemble == 1
+            stalled = (k == cap_used and self.cfg.ensemble == 1
                        and _window_stalled(h["rel_err"][:k], best_rel))
             if stalled and stall_action == "reinit_v":
                 key, kv = jax.random.split(self.state.key)
@@ -737,11 +738,18 @@ class NODEWANSolver:
         return out
 
     def _build_train_until(self, window: int):
-        # ``tol`` is a DYNAMIC operand (it is only ever compared, never
-        # shaped), so retuning the stop tolerance — e.g. the two-phase
-        # d=20 recipe's 0.05 -> 0.01 — reuses the compiled program.
+        # ``tol`` AND ``cap`` are DYNAMIC operands (only ever compared,
+        # never shaped), so one compiled program serves (a) retuned stop
+        # tolerances — e.g. the two-phase d=20 recipe's 0.05 -> 0.01 —
+        # and (b) every dispatch length from the cold 8-iteration probe
+        # up to the full ``window`` buffer. (b) is what keeps slow-step
+        # configs alive under the axon relay: a 200-iteration dopri5
+        # window is a ~13-minute single device program, and the TPU
+        # worker's execution watchdog kills it ('TPU worker crashed' —
+        # observed on the d=5 dopri5 scenario and on long d=20 runs).
+        # ``window`` only sizes the trajectory buffer.
         @functools.partial(jax.jit, donate_argnums=0)
-        def run(state, tol):
+        def run(state, tol, cap):
             hist = {
                 "loss_u": jnp.full((window,), jnp.nan),
                 "L2": jnp.full((window,), jnp.nan),
@@ -752,7 +760,7 @@ class NODEWANSolver:
 
             def cond(carry):
                 _, k, rel, _ = carry
-                return (k < window) & (rel > tol)
+                return (k < jnp.minimum(cap, window)) & (rel > tol)
 
             def body(carry):
                 state, k, _, hist = carry
