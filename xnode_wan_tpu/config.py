@@ -42,7 +42,9 @@ class SolverConfig:
                                 # remat_scan here; remat is on by default)
     solver: str = "midpoint"    # fixed-step: euler|midpoint|heun|rk4|
                                 # explicit_adams (AB4)|fixed_adams (ABM4
-                                # PECE); adaptive embedded RK: dopri5|
+                                # PECE) — Adams order is capped at n_sub
+                                # per interval (warned when < 4, see
+                                # __post_init__); adaptive RK: dopri5|
                                 # bosh3|adaptive_heun|fehlberg2|dopri8 —
                                 # the torchdiffeq method surface the
                                 # reference passes through,
@@ -230,6 +232,24 @@ class SolverConfig:
                 f"unknown solver {self.solver!r}; valid: {valid}{hint}")
         if self.ode_max_steps < 1:
             raise ValueError("ode_max_steps must be >= 1")
+        if self.solver in ("explicit_adams", "fixed_adams") and self.n_sub < 4:
+            # The multistep history restarts at every sample-interval seam
+            # (the per-path stratified grids are non-uniform there, so the
+            # uniform-step Adams coefficients would be invalid across it —
+            # ops/integrate.py). Within an interval the order ramps 1->4
+            # with the substep count, so n_sub caps the effective order:
+            # at n_sub=1 explicit_adams IS euler and fixed_adams a single
+            # trapezoid PECE step. Warn rather than reject — the result is
+            # still a consistent (low-order) integrator.
+            import warnings
+            warnings.warn(
+                f"solver={self.solver!r} with n_sub={self.n_sub} (from "
+                f"min_steps={self.min_steps}, N_t={self.N_t}): multistep "
+                "history restarts at each of the N_t sample intervals, so "
+                f"the effective Adams order is capped at {self.n_sub}, not "
+                "4. Raise min_steps (n_sub = ceil(2*min_steps/N_t) >= 4) "
+                "to reach the advertised AB4/ABM4 order.",
+                stacklevel=2)
         if self.primal not in ("xnode", "wan"):
             raise ValueError(f"unknown primal model {self.primal!r}")
         if self.N_t < 2:
@@ -251,6 +271,13 @@ class SolverConfig:
                 "domain (the reference pairs independent u/v clouds only "
                 "there); on moving domains the v cloud's own masking "
                 "would silently corrupt the paired weak-form estimator")
+
+    # Effective output normalization: u_scale <= 0 means "off" (scale 1).
+    # Every seeding/readout site divides/multiplies by this one value —
+    # keep the fallback rule here, not re-derived per call site.
+    @property
+    def u_scale_eff(self) -> float:
+        return self.u_scale if self.u_scale > 0 else 1.0
 
     # Static substep count guaranteeing the fillt invariant (see sampling.py):
     # stratified time grids have max gap <= 2*(T-T0)/N_t, so n_sub substeps

@@ -40,7 +40,7 @@ def _mlp(params: Dict[str, Any], pts: jax.Array) -> jax.Array:
 def apply_wan(params: Dict[str, Any], batch: PathBatch, problem,
               cfg: SolverConfig) -> jax.Array:
     del problem
-    scale = cfg.u_scale if cfg.u_scale > 0 else 1.0
+    scale = cfg.u_scale_eff
     return _mlp(params, batch.x) * scale
 
 
@@ -48,5 +48,5 @@ def evaluate_points(params: Dict[str, Any], pts: jax.Array, problem,
                     cfg: SolverConfig, k_steps: int | None = None,
                     domain=None) -> jax.Array:
     del problem, k_steps, domain  # plain MLP evaluates anywhere directly
-    scale = cfg.u_scale if cfg.u_scale > 0 else 1.0
+    scale = cfg.u_scale_eff
     return _mlp(params, pts) * scale

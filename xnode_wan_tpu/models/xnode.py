@@ -85,6 +85,30 @@ def field_apply(params: Dict[str, Any], x: jax.Array, t: jax.Array,
     return linear(layers[-1], jnp.tanh(z))
 
 
+def path_seed_fn(batch: PathBatch, problem, cfg: SolverConfig):
+    """The reference initial-value seeding, single-sourced.
+
+    Returns ``seed_of(xs) -> [N]``: u's (u_scale-normalized) starting
+    value per path — ``h`` at the path's first sample time where it
+    begins at T0, ``g`` at ``t_start`` where it enters through the moving
+    boundary (reference ``src/model.py:92-96``). Exposed as a function of
+    the frozen spatial coords ``xs`` so the fused training kernel can
+    ``jvp`` it for spatial tangents; the XLA forward (``apply_xnode``)
+    and the fused metric/serving forward call it directly. Three
+    consumers, ONE definition — a seeding fix cannot miss a backend.
+    Computes in ``xs.dtype`` (f32 kernels, f64 parity runs).
+    """
+    def seed_of(xs):
+        first_pts = jnp.concatenate(
+            [batch.times[:, :1].astype(xs.dtype), xs], axis=-1)
+        entry_pts = jnp.concatenate(
+            [batch.t_start.astype(xs.dtype)[:, None], xs], axis=-1)
+        scale = jnp.asarray(cfg.u_scale_eff, xs.dtype)
+        return jnp.where(batch.seed_from_h, problem.h(first_pts),
+                         problem.g(entry_pts)) / scale
+    return seed_of
+
+
 def apply_xnode(params: Dict[str, Any], batch: PathBatch, problem,
                 cfg: SolverConfig) -> jax.Array:
     """Evaluate u at every sample point of ``batch`` -> ``u [N, L]``.
@@ -93,13 +117,8 @@ def apply_xnode(params: Dict[str, Any], batch: PathBatch, problem,
     (reference ``src/model.py:99``: ``_F(ODE_rhs, inputs[:, 0, 1:])``).
     """
     xs = batch.space[:, 0, :]                       # [N, d]
-    first_pts = batch.x[:, 0, :]                    # [N, C]
-    seed_h = problem.h(first_pts)
-    entry_pts = jnp.concatenate(
-        [batch.t_start.astype(xs.dtype)[:, None], xs], axis=-1)
-    seed_g = problem.g(entry_pts)
-    scale = jnp.asarray(cfg.u_scale if cfg.u_scale > 0 else 1.0, xs.dtype)
-    seed = jnp.where(batch.seed_from_h, seed_h, seed_g)[:, None] / scale
+    scale = jnp.asarray(cfg.u_scale_eff, xs.dtype)
+    seed = path_seed_fn(batch, problem, cfg)(xs)[:, None]
     h0 = lift_apply(params, seed)
 
     # x is frozen along each path, so the (optional) Fourier bank is
@@ -150,7 +169,7 @@ def evaluate_points(params: Dict[str, Any], pts: jax.Array, problem,
     else:
         t_entry = jnp.full((pts.shape[0],), cfg.T0, dtype=pts.dtype)
         seed_from_h = jnp.ones((pts.shape[0],), dtype=bool)
-    scale = cfg.u_scale if cfg.u_scale > 0 else 1.0
+    scale = cfg.u_scale_eff
     # Fused serving kernel: covers Fourier-feature configs too (the bank
     # is frozen per point, computed here, carried as extra feature rows).
     # Remaining exclusions: x64 parity runs, the adaptive solvers (the

@@ -377,17 +377,13 @@ def u_forward_fused(params, batch, problem, cfg, interpret: bool = False,
                     mesh=None, data_axis: str = "data") -> jax.Array:
     """Primal values ``u [N, L]`` only — the metric/serving forward on a
     path batch, VMEM-fused, no gradients (callers treat it as data).
-    Mirrors :func:`fused_from_batch`'s seeding exactly."""
-    from xnode_wan_tpu.models.xnode import spatial_features
+    Seeds through :func:`models.xnode.path_seed_fn` — the one seeding
+    definition shared with the XLA forward and the gradient kernel."""
+    from xnode_wan_tpu.models.xnode import path_seed_fn, spatial_features
 
     xs = batch.space[:, 0, :].astype(jnp.float32)
-    scale = float(cfg.u_scale if cfg.u_scale > 0 else 1.0)
-    first_t = batch.times[:, :1].astype(jnp.float32)
-    t_start = batch.t_start.astype(jnp.float32)
-    first_pts = jnp.concatenate([first_t, xs], axis=-1)
-    entry_pts = jnp.concatenate([t_start[:, None], xs], axis=-1)
-    seed = jnp.where(batch.seed_from_h, problem.h(first_pts),
-                     problem.g(entry_pts)) / scale
+    scale = float(cfg.u_scale_eff)
+    seed = path_seed_fn(batch, problem, cfg)(xs)
     feats = spatial_features(xs, cfg.fourier_features)
 
     N, F = feats.shape
@@ -403,7 +399,7 @@ def u_forward_fused(params, batch, problem, cfg, interpret: bool = False,
     n_lift, n_field = len(params["lift"]), len(params["field"])
 
     t0, dt = _prep_intervals(batch.times.astype(jnp.float32), batch.mask,
-                             t_start, cfg.n_sub)
+                             batch.t_start.astype(jnp.float32), cfg.n_sub)
 
     def padT(a, rows):
         a = a.astype(jnp.float32).T.reshape(rows, N)
@@ -806,23 +802,16 @@ def fused_from_batch(params, batch, problem, cfg, interpret: bool = False,
     kernel: computes the seed (problem ``h``/``g`` data — user code, stays
     in JAX) and the feature/seed spatial tangents, then calls the kernel.
 
-    Mirrors ``models/xnode.py::apply_xnode``'s seeding exactly
-    (reference ``src/model.py:92-96``).
+    Seeds through ``models/xnode.py::path_seed_fn`` — the one seeding
+    definition shared with the XLA forward (reference
+    ``src/model.py:92-96``) — jvp'd here for the spatial tangents.
     """
-    from xnode_wan_tpu.models.xnode import spatial_features
+    from xnode_wan_tpu.models.xnode import path_seed_fn, spatial_features
 
     xs = batch.space[:, 0, :].astype(jnp.float32)
     d = xs.shape[-1]
-    scale = float(cfg.u_scale if cfg.u_scale > 0 else 1.0)
-    first_t = batch.times[:, :1].astype(jnp.float32)
-    t_start = batch.t_start.astype(jnp.float32)
-
-    def seed_of(xs_):
-        first_pts = jnp.concatenate([first_t, xs_], axis=-1)
-        seed_h = problem.h(first_pts)
-        entry_pts = jnp.concatenate([t_start[:, None], xs_], axis=-1)
-        seed_g = problem.g(entry_pts)
-        return jnp.where(batch.seed_from_h, seed_h, seed_g) / scale
+    scale = float(cfg.u_scale_eff)
+    seed_of = path_seed_fn(batch, problem, cfg)
 
     def feats_of(xs_):
         return spatial_features(xs_, cfg.fourier_features)
