@@ -19,13 +19,17 @@ Construction (Cranley-Patterson rotation):
   iteration, unbiased for any integrand, variance bounded by the QMC
   discrepancy.
 
-The base set uses ``scipy.stats.qmc.Halton(scramble=True, seed=0)`` when
-scipy is available (Owen-style digit scrambling kills the raw Halton
-correlations between high-prime dimensions, which matter at d >= 20) and
-falls back to a plain radical-inverse Halton otherwise. Determinism: the
-base depends only on (n, d), so the sampled cloud is a pure function of
-the PRNG key — checkpoints/resume and multi-host replay behave exactly as
-with pseudo-random sampling.
+The base set is a vendored *generalized (scrambled) Halton*: per
+dimension and per digit position, a random permutation (with 0 fixed) of
+the digits is applied inside the radical inverse — digit scrambling kills
+the raw Halton correlations between high-prime dimensions, which matter
+at d >= 20. The permutations come from ``np.random.RandomState(0)``, the
+legacy generator whose bit stream numpy freezes forever, so the base is a
+pure function of (n, d) **in every environment** — no scipy (or any
+version-dependent library) in the construction. Determinism: the sampled
+cloud is therefore a pure function of the PRNG key; checkpoints/resume
+and multi-host replay behave exactly as with pseudo-random sampling,
+including across machines with different installed packages.
 """
 
 from __future__ import annotations
@@ -43,15 +47,23 @@ _PRIMES = [2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59,
 # d+1 columns qmc_ball needs at the largest (d=50) scenario dimension
 
 
-def _radical_inverse(indices: np.ndarray, base: int) -> np.ndarray:
-    """Van der Corput radical inverse of ``indices`` in ``base`` (f64)."""
+def _scrambled_radical_inverse(indices: np.ndarray, base: int,
+                               perms: np.ndarray) -> np.ndarray:
+    """Digit-scrambled van der Corput radical inverse in ``base`` (f64).
+
+    ``perms [n_digits, base]`` maps the digit at each position through its
+    own permutation; every permutation fixes 0, so the (infinite) trailing
+    zero digits contribute nothing and truncation is exact.
+    """
     idx = indices.astype(np.int64)
     out = np.zeros(idx.shape, dtype=np.float64)
     f = 1.0 / base
+    k = 0
     while idx.max(initial=0) > 0:
-        out += f * (idx % base)
+        out += f * perms[k][idx % base]
         idx //= base
         f /= base
+        k += 1
     return out
 
 
@@ -59,22 +71,28 @@ def _radical_inverse(indices: np.ndarray, base: int) -> np.ndarray:
 def halton_base(n: int, dim: int) -> np.ndarray:
     """Scrambled-Halton base set ``[n, dim]`` in [0,1) (host, cached).
 
-    Deterministic in (n, dim). The scipy-free fallback covers
-    ``dim <= 51`` (d+1 columns at the largest scenario dimension d=50);
-    scipy's own table goes further when available.
+    A pure function of (n, dim) in every environment: the per-dimension,
+    per-digit-position scrambling permutations are drawn from the frozen
+    ``np.random.RandomState(0)`` stream (dimension-major order). Covers
+    ``dim <= 51`` — the d+1 columns ``qmc_ball`` needs at the largest
+    supported scenario dimension d=50.
     """
-    try:
-        from scipy.stats import qmc as _sq
-        h = _sq.Halton(d=dim, scramble=True, seed=0)
-        return np.asarray(h.random(n), dtype=np.float64)
-    except ImportError:
-        if dim > len(_PRIMES):
-            raise ValueError(
-                f"halton_base: dim={dim} exceeds the built-in prime table "
-                f"({len(_PRIMES)}) and scipy is unavailable") from None
-        idx = np.arange(1, n + 1)  # skip the all-zeros point
-        cols = [_radical_inverse(idx, p) for p in _PRIMES[:dim]]
-        return np.stack(cols, axis=1)
+    if dim > len(_PRIMES):
+        raise ValueError(
+            f"halton_base: dim={dim} exceeds the built-in prime table "
+            f"({len(_PRIMES)})")
+    rs = np.random.RandomState(0)
+    idx = np.arange(1, n + 1)  # skip the all-zeros point
+    cols = []
+    for p in _PRIMES[:dim]:
+        n_digits = 1
+        while p ** n_digits <= n:
+            n_digits += 1
+        perms = np.stack([
+            np.concatenate(([0], 1 + rs.permutation(p - 1)))
+            for _ in range(n_digits)])
+        cols.append(_scrambled_radical_inverse(idx, p, perms))
+    return np.stack(cols, axis=1)
 
 
 def qmc_uniform(key: jax.Array, n: int, dim: int, dtype,
