@@ -141,6 +141,24 @@ def test_adams_alias_rejected():
         SolverConfig(dim=2, solver="adams")
 
 
+def test_adams_order_cap_warns():
+    # Multistep history restarts at sample-interval seams, so n_sub caps
+    # the effective Adams order — selecting AB4/ABM4 where it degenerates
+    # (n_sub=1 explicit_adams IS euler) must warn, not stay silent.
+    import warnings
+
+    from xnode_wan_tpu.config import SolverConfig
+    base = dict(dim=2, N_r=8, N_b=8, shape_param=(-1.0, 1.0))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        SolverConfig(solver="explicit_adams", N_t=50, min_steps=5, **base)
+    assert len(w) == 1 and "capped at 1" in str(w[0].message)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        SolverConfig(solver="fixed_adams", N_t=4, min_steps=8, **base)
+    assert not w  # n_sub=4 reaches the advertised order: silent
+
+
 def test_dopri5_exact_decay():
     # Adaptive RK5(4) must hit the closed form well within tolerance.
     field = lambda t, h: -h
