@@ -415,6 +415,32 @@ def test_train_until_stall_actions(problem, tmp_path):
     assert not np.allclose(flat(s2.state.u_params), u0)  # multi-start reroll
 
 
+def test_stall_test_sees_full_windows_under_tiny_dispatches(
+        problem, tmp_path, monkeypatch):
+    # The dynamic dispatch cap can make single dispatches as short as 8
+    # iterations; the stall heuristic's trajectory statistics were
+    # derived for full ``window``-length samples and fire spuriously on
+    # short slices. The accumulator must hand it only >=window-point
+    # trajectories, however small the dispatches are.
+    import xnode_wan_tpu.training as training_mod
+
+    seen = []
+
+    def recorder(rel_window, best_rel):
+        seen.append(len(np.asarray(rel_window)))
+        return False
+
+    monkeypatch.setattr(training_mod, "_window_stalled", recorder)
+    # window_target_s ~ 0 pins the cap at its floor of 8 -> dispatches of
+    # 8 iterations against a stall window of 16.
+    cfg = SMALL.replace(iterations=32, window_target_s=1e-9)
+    solver = NODEWANSolver(cfg, problem, work_dir=str(tmp_path))
+    solver.train_until(1e-9, 32, window=16, stall_action="restart")
+    assert seen, "stall test never evaluated"
+    assert all(n >= 16 for n in seen), seen
+    assert len(seen) == 2  # 32 iters / 16-point windows
+
+
 def test_drop_learning_rate_phase2(problem, tmp_path):
     import jax
     solver = NODEWANSolver(SMALL.replace(iterations=6), problem,

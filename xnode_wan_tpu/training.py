@@ -29,6 +29,7 @@ from typing import Any, Callable, Mapping, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 
@@ -68,8 +69,6 @@ def _window_stalled(rel_window, best_rel: float) -> bool:
     choice, not a fitted constant (this replaces the round-2 magic
     ``0.99`` relative-improvement literal).
     """
-    import numpy as np
-
     r = np.asarray(rel_window, dtype=np.float64)
     r = r[np.isfinite(r) & (r > 0)]
     if r.size < 4:
@@ -647,6 +646,21 @@ class NODEWANSolver:
         best_rel = float("inf")
         best_seen = (float("inf"), None)  # (window-end rel, u_params copy)
         chunks = {"loss_u": [], "L2": [], "rel_err": []}
+        # Stall-test accumulator: the dynamic cap makes single dispatches
+        # as short as 8 iterations, far too few points for the trajectory
+        # statistics of _window_stalled (its slope test needs the full
+        # ``window``-length sample it was derived for — on an 8-60 point
+        # slice the 2-sigma slope band almost never certifies genuine
+        # progress, so per-dispatch evaluation would fire reinit_v /
+        # restart spuriously on exactly the slow-step configs the cap
+        # exists for). Accumulate rel_err across dispatches and evaluate
+        # once >= ``window`` iterations have accrued, mirroring the
+        # fixed-window semantics the heuristic was validated under.
+        # ``best_rel`` stays the best over *previously checked* windows —
+        # updating it mid-accumulation would let the window compete
+        # against its own minimum and bias the test toward "stalled".
+        stall_buf: list = []
+        stall_n = 0
         # Per-dispatch iteration cap — a DYNAMIC operand of the compiled
         # window program (see _build_train_until), so resizing it never
         # recompiles. Starts at a small cold probe: the first dispatch
@@ -700,9 +714,15 @@ class NODEWANSolver:
             # primal re-teaches a fresh adversary the same cycle.
             # (``ensemble`` is the *principled* multi-start and supersedes
             # these heuristics — per-member healing doesn't apply.)
-            window_min = float(h["rel_err"][:k].min())
-            stalled = (k == cap_used and self.cfg.ensemble == 1
-                       and _window_stalled(h["rel_err"][:k], best_rel))
+            stalled = False
+            if stall_action != "none" and self.cfg.ensemble == 1:
+                stall_buf.append(h["rel_err"][:k])
+                stall_n += k
+                if stall_n >= min(window, max_iters):
+                    traj = np.concatenate(stall_buf)
+                    stalled = _window_stalled(traj, best_rel)
+                    best_rel = min(best_rel, float(traj.min()))
+                    stall_buf, stall_n = [], 0
             if stalled and stall_action == "reinit_v":
                 key, kv = jax.random.split(self.state.key)
                 v_params = init_discriminator(
@@ -716,7 +736,6 @@ class NODEWANSolver:
             elif stalled and stall_action == "restart":
                 self._reinit_state(jax.random.fold_in(self.state.key, done))
                 best_rel = float("inf")
-            best_rel = min(best_rel, window_min)
 
         import numpy as _np
         out = {name: _np.concatenate(parts) if parts else _np.zeros((0,))
