@@ -737,8 +737,7 @@ class NODEWANSolver:
                 self._reinit_state(jax.random.fold_in(self.state.key, done))
                 best_rel = float("inf")
 
-        import numpy as _np
-        out = {name: _np.concatenate(parts) if parts else _np.zeros((0,))
+        out = {name: np.concatenate(parts) if parts else np.zeros((0,))
                for name, parts in chunks.items()}
         out["iterations_run"] = done
         out["rel_err_final"] = rel
