@@ -125,3 +125,26 @@ def test_fused_gate_single_predicate():
     other = Mesh(devs, ("member",))
     _, fmesh, mesh_ok = fused_gate(SolverConfig(**base), other)
     assert not mesh_ok and fmesh is None
+
+
+def test_fused_evaluate_sharded_matches_unsharded(key):
+    # Data-parallel serving: the same kernel under shard_map over the
+    # data axis must return exactly the per-point values of the unsharded
+    # call (pure map — no collectives, no reduction-order noise). 37
+    # points exercises the pad-to-shards path.
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs the 8-device mesh")
+    from xnode_wan_tpu.parallel.mesh import make_mesh
+
+    problem = load_problem("cube_pde", dim=CFG.dim)
+    params = init_xnode(key, CFG)
+    pts = jax.random.uniform(jax.random.PRNGKey(11), (37, CFG.dim + 1),
+                             minval=-0.8, maxval=0.8)
+    pts = pts.at[:, 0].set(jnp.abs(pts[:, 0]))
+    seed = problem.h(pts.at[:, 0].set(CFG.T0))
+
+    ref = fused_evaluate(params, pts, seed, 6, t0=CFG.T0, interpret=True)
+    got = fused_evaluate(params, pts, seed, 6, t0=CFG.T0, interpret=True,
+                         mesh=make_mesh(jax.devices()))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

@@ -2,6 +2,7 @@
 slice; SURVEY §4). Sharded and single-device training must agree."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -127,3 +128,31 @@ def test_odd_batch_rounded_to_shards():
     solver = NODEWANSolver(CFG.replace(N_r=61, N_b=63), problem, mesh=mesh,
                            work_dir="/tmp/shardrnd")
     assert solver.cfg.N_r % 8 == 0 and solver.cfg.N_b % 8 == 0
+
+
+def test_predict_sharded_matches_single(tmp_path):
+    """Data-parallel serving: predict() under the data mesh returns the
+    single-device values (pointwise eval — no collectives), including an
+    uneven point count (13 over 8 shards)."""
+    problem = load_problem("cube_pde", dim=2)
+    single = NODEWANSolver(CFG, problem, work_dir=str(tmp_path / "s"),
+                           devices=jax.devices()[:1])
+    sharded = NODEWANSolver(CFG, problem, work_dir=str(tmp_path / "m"),
+                            mesh=make_mesh(jax.devices()))
+    pts = jax.random.uniform(jax.random.PRNGKey(3), (13, 3),
+                             minval=-0.8, maxval=0.8)
+    pts = pts.at[:, 0].set(jnp.abs(pts[:, 0]))
+    u1 = np.asarray(single.predict(pts))
+    u8 = np.asarray(sharded.predict(pts))
+    np.testing.assert_allclose(u8, u1, rtol=1e-6, atol=1e-7)
+
+
+def test_predict_member_only_mesh_runs(tmp_path):
+    """A member-only ensemble mesh has no point axis to shard — predict()
+    must fall back to unsharded serving, not error."""
+    problem = load_problem("cube_pde", dim=2)
+    cfg = CFG.replace(ensemble=16, N_r=16, N_b=16)
+    s = NODEWANSolver(cfg, problem, work_dir=str(tmp_path),
+                      mesh=make_mesh(jax.devices()))
+    pts = jnp.array([[0.2, 0.1, -0.3], [0.5, 0.4, 0.2]])
+    assert np.isfinite(np.asarray(s.predict(pts))).all()

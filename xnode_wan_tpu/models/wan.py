@@ -46,7 +46,11 @@ def apply_wan(params: Dict[str, Any], batch: PathBatch, problem,
 
 def evaluate_points(params: Dict[str, Any], pts: jax.Array, problem,
                     cfg: SolverConfig, k_steps: int | None = None,
-                    domain=None) -> jax.Array:
+                    domain=None, mesh=None) -> jax.Array:
     del problem, k_steps, domain  # plain MLP evaluates anywhere directly
     scale = cfg.u_scale_eff
+    if mesh is not None and cfg.data_axis in mesh.axis_names:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        pts = jax.lax.with_sharding_constraint(
+            pts, NamedSharding(mesh, P(cfg.data_axis, None)))
     return _mlp(params, pts) * scale

@@ -149,7 +149,7 @@ def apply_xnode(params: Dict[str, Any], batch: PathBatch, problem,
 
 def evaluate_points(params: Dict[str, Any], pts: jax.Array, problem,
                     cfg: SolverConfig, k_steps: int | None = None,
-                    domain=None) -> jax.Array:
+                    domain=None, mesh=None) -> jax.Array:
     """Evaluate u at arbitrary space-time points ``pts [M, C]``.
 
     Each point becomes a fresh path of ``k_steps`` uniform intervals,
@@ -161,9 +161,18 @@ def evaluate_points(params: Dict[str, Any], pts: jax.Array, problem,
     moving domains (hourglass ascending-branch points need the g-seed);
     without it the from-``T0`` h-seed is used everywhere (exact for the
     hypercube and cone). Used by contour plots and ad-hoc inference.
+
+    ``mesh``: data-parallel serving — the point axis shards over
+    ``cfg.data_axis`` (evaluation is pointwise, so there are no
+    collectives and throughput scales linearly). The fused kernel runs
+    per shard under ``jax.shard_map``; the XLA scan path gets a sharding
+    constraint and GSPMD partitions it. The reference has no serving
+    parallelism at all (``proj`` evaluates its grid on one device).
     """
     if k_steps is None:
         k_steps = max(cfg.min_steps, cfg.N_t)
+    if mesh is not None and cfg.data_axis not in mesh.axis_names:
+        mesh = None  # member-only ensemble mesh: no point axis to shard
     if domain is not None and hasattr(domain, "entry"):
         t_entry, seed_from_h = domain.entry(pts)
     else:
@@ -189,7 +198,8 @@ def evaluate_points(params: Dict[str, Any], pts: jax.Array, problem,
         feats = spatial_features(pts[:, 1:], cfg.fourier_features)
         return fused_evaluate(params, pts, seed, k_steps * cfg.n_sub,
                               t_start=t_entry, feats=feats,
-                              method=cfg.solver) * scale
+                              method=cfg.solver, mesh=mesh,
+                              data_axis=cfg.data_axis) * scale
     m = pts.shape[0]
     t = pts[:, 0]
     frac = jnp.linspace(0.0, 1.0, k_steps + 1, dtype=pts.dtype)
@@ -204,4 +214,7 @@ def evaluate_points(params: Dict[str, Any], pts: jax.Array, problem,
         t_start=t_entry,
         seed_from_h=seed_from_h,
     )
+    if mesh is not None:
+        from xnode_wan_tpu.parallel.mesh import shard_batch
+        batch = shard_batch(batch, mesh, cfg.data_axis)
     return apply_xnode(params, batch, problem, cfg)[:, -1]

@@ -100,7 +100,8 @@ def fused_evaluate(params: Dict[str, Any], pts: jax.Array, seed: jax.Array,
                    t_start: jax.Array | None = None,
                    feats: jax.Array | None = None,
                    method: str = "midpoint",
-                   interpret: bool = False) -> jax.Array:
+                   interpret: bool = False,
+                   mesh=None, data_axis: str = "data") -> jax.Array:
     """Evaluate u at points ``pts [M, C]`` with seeds ``seed [M]``.
 
     ``seed`` is the problem's h/g data at each point's path origin
@@ -113,6 +114,15 @@ def fused_evaluate(params: Dict[str, Any], pts: jax.Array, seed: jax.Array,
     point's path, so the bank is computed once per point outside and the
     kernel just carries F feature rows instead of d. Returns ``u [M]``.
     M is padded internally to a multiple of BLOCK.
+
+    ``mesh``: data-parallel serving. Points shard over ``data_axis``
+    (each device gets a whole number of kernel blocks — M is padded for
+    that), weights go in replicated, and the kernel runs per shard under
+    ``jax.shard_map``. Evaluation is pointwise, so there are no
+    collectives at all — serving throughput scales linearly with the
+    data-axis size. Mesh axes other than ``data_axis`` replicate the
+    compute (correct, redundant); a mesh without ``data_axis`` runs
+    unsharded.
     """
     m, c = pts.shape
     if feats is None:
@@ -120,7 +130,10 @@ def fused_evaluate(params: Dict[str, Any], pts: jax.Array, seed: jax.Array,
     f_rows = feats.shape[-1]
     h_dim = params["lift"][-1]["w"].shape[-1]
     block = _pick_block(f_rows + h_dim + 3)
-    m_pad = -(-m // block) * block
+    n_shards = (int(mesh.shape[data_axis])
+                if mesh is not None and data_axis in mesh.axis_names else 1)
+    quantum = block * n_shards
+    m_pad = -(-m // quantum) * quantum
 
     def padT(a):  # [M, rows] -> [rows, m_pad]
         return jnp.pad(a.astype(jnp.float32).T, ((0, 0), (0, m_pad - m)))
@@ -131,8 +144,11 @@ def fused_evaluate(params: Dict[str, Any], pts: jax.Array, seed: jax.Array,
     if t_start is None:
         t_start = jnp.full((m,), t0, dtype=jnp.float32)
     tsT = padT(t_start[:, None])
+    # Padding note: pad rows have t_target = t_start = 0, so dt = 0 and
+    # the kernel's step loop is a no-op on them — no NaN can leak into
+    # the reductions of real rows (there are none; rows are independent).
 
-    flat = _flatten_params_t(params)
+    flat = [a.astype(jnp.float32) for a in _flatten_params_t(params)]
     n_lift = len(params["lift"])
     n_field = len(params["field"])
 
@@ -142,12 +158,26 @@ def fused_evaluate(params: Dict[str, Any], pts: jax.Array, seed: jax.Array,
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
                                   memory_space=pltpu.VMEM)
 
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((1, m_pad), jnp.float32),
-        grid=(m_pad // block,),
-        in_specs=[col(f_rows), col(1), col(1), col(1)] + [full(a) for a in flat],
-        out_specs=col(1),
-        interpret=interpret,
-    )(featsT, ttT, tsT, seedT, *[a.astype(jnp.float32) for a in flat])
+    def call(featsT, ttT, tsT, seedT, *flat):
+        mp = featsT.shape[1]
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((1, mp), jnp.float32),
+            grid=(mp // block,),
+            in_specs=[col(f_rows), col(1), col(1), col(1)]
+            + [full(a) for a in flat],
+            out_specs=col(1),
+            interpret=interpret,
+        )(featsT, ttT, tsT, seedT, *flat)
+
+    if n_shards > 1:
+        from jax.sharding import PartitionSpec as P
+        lane, rep = P(None, data_axis), P()
+        out = jax.shard_map(
+            call, mesh=mesh,
+            in_specs=(lane,) * 4 + (rep,) * len(flat),
+            out_specs=lane, check_vma=False,
+        )(featsT, ttT, tsT, seedT, *flat)
+    else:
+        out = call(featsT, ttT, tsT, seedT, *flat)
     return out[0, :m]

@@ -251,7 +251,8 @@ class NODEWANSolver:
         self._train_until_cache = {}
         self._predict = jax.jit(
             lambda u_params, pts: self._u_eval_points(
-                u_params, pts, self.problem, self.cfg, domain=self.domain))
+                u_params, pts, self.problem, self.cfg, domain=self.domain,
+                mesh=self.mesh))
 
         self.best_l = float("inf")
         self.logger = RunLogger(cfg.dim, work_dir)
