@@ -117,7 +117,7 @@ def test_remat_matches_plain():
 
 @pytest.mark.parametrize("method,tol", [
     ("bosh3", 5e-4), ("adaptive_heun", 2e-3), ("fehlberg2", 2e-3),
-    ("dopri8", 1e-4)])
+    ("dopri8", 1e-4), ("adams", 2e-3)])
 def test_adaptive_method_surface(method, tol):
     # the remaining torchdiffeq adaptive names (src/model.py:103-106):
     # real embedded pairs, not aliases — each meets its requested
@@ -134,11 +134,15 @@ def test_adaptive_method_surface(method, tol):
     np.testing.assert_allclose(np.asarray(hs), expect, atol=tol)
 
 
-def test_adams_alias_rejected():
-    # torchdiffeq's adaptive-order 'adams' is NOT silently substituted
+def test_implicit_adams_rejected_with_hint():
+    # 'implicit_adams' is not a torchdiffeq-0.1.1 name (the reference's
+    # pin); it must be rejected with a pointer at the two real Adams
+    # solvers, never silently substituted
     from xnode_wan_tpu.config import SolverConfig
     with pytest.raises(ValueError, match="fixed_adams"):
-        SolverConfig(dim=2, solver="adams")
+        SolverConfig(dim=2, solver="implicit_adams")
+    cfg = SolverConfig(dim=2, solver="adams")   # VCABM: accepted
+    assert cfg.solver == "adams"
 
 
 def test_adams_order_cap_warns():
@@ -304,3 +308,128 @@ def test_dopri8_nonlinear_vs_fine_rk4():
                              method="dopri8")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-6)
+
+
+# --- adams (VCABM): torchdiffeq's adaptive-order multistep ------------------
+
+def test_vcabm_gamma_star_recurrence_values():
+    # gamma*_k from the generating-function recurrence must reproduce the
+    # classical table (Hairer I.III.1)
+    from xnode_wan_tpu.ops.integrate import _gamma_star
+    gs = _gamma_star(7)
+    expect = (1.0, -1 / 2, -1 / 12, -1 / 24, -19 / 720, -3 / 160,
+              -863 / 60480)
+    np.testing.assert_allclose(gs, expect, rtol=1e-14)
+
+
+def test_adams_nonlinear_vs_fine_rk4():
+    # Same non-autonomous nonlinear problem as the dopri5/dopri8 tests.
+    # strict=True: the answer must be reached WITHIN the attempt budget
+    # (no forced error-unchecked fallback steps hiding in the result).
+    field = lambda t, h: jnp.sin(3.0 * t)[:, None] * h - 0.5 * h ** 2
+    h0 = jnp.full((2, 2), 0.8)
+    times = _grid(2, 6)
+    mask = jnp.ones((2, 6), bool)
+    ref = integrate(field, h0, times, jnp.zeros(2), mask, n_sub=64,
+                    method="rk4")
+    got = integrate_adaptive(field, h0, times, jnp.zeros(2), mask,
+                             rtol=1e-6, atol=1e-8, max_steps=32,
+                             strict=True, method="adams")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-5, atol=5e-6)
+
+
+def test_adams_accuracy_scales_with_rtol():
+    # The error controller is real: tightening rtol by 1e4 must shrink
+    # the global error by well over 1e1. One [0, 1] output interval so
+    # step size is tolerance-controlled, not clamped by sample spacing.
+    field = lambda t, h: -h
+    h0 = jnp.ones((2, 2))
+    times = _grid(2, 2)
+    mask = jnp.ones((2, 2), bool)
+
+    def err(rtol):
+        hs = integrate_adaptive(field, h0, times, jnp.zeros(2), mask,
+                                rtol=rtol, atol=rtol * 1e-2,
+                                max_steps=64, strict=True,
+                                method="adams")
+        return float(np.abs(np.asarray(hs[:, -1, :])
+                            - np.exp(-1.0)).max())
+
+    e_loose, e_tight = err(1e-2), err(1e-6)
+    assert e_tight < e_loose / 10.0
+    # per-step error control bounds the LOCAL error by ~rtol; the global
+    # error accumulates over the ~15 accepted steps (measured 1.3e-5 in
+    # both f32 and f64 — not a precision floor, the standard O(steps *
+    # rtol) envelope of error-per-step controllers, torchdiffeq included)
+    assert e_tight < 3e-5
+
+
+def test_adams_order_adaptation_pays():
+    # 6 attempts per interval at rtol=1e-6 is far beyond what order<=2
+    # could deliver on dt ~ 0.02 (local error ~ 1e-4): meeting the
+    # tolerance inside the budget under strict=True requires the order
+    # controller to actually climb.
+    field = lambda t, h: -h
+    h0 = jnp.ones((1, 1))
+    times = _grid(1, 9)
+    mask = jnp.ones((1, 9), bool)
+    hs = integrate_adaptive(field, h0, times, jnp.zeros(1), mask,
+                            rtol=1e-6, atol=1e-8, max_steps=6,
+                            strict=True, method="adams")
+    assert bool(jnp.isfinite(hs).all())
+    expect = np.exp(-np.asarray(times[0]))
+    np.testing.assert_allclose(np.asarray(hs[0, :, 0]), expect,
+                               rtol=1e-4)
+
+
+def test_adams_masking_and_t_start():
+    # Same re-entry / frozen-suffix semantics as the other integrators.
+    field = lambda t, h: -h
+    times = _grid(1, 6)
+    mask = jnp.array([[False, False, True, True, False, False]])
+    t_start = jnp.array([0.3])
+    hs = integrate_adaptive(field, jnp.ones((1, 1)), times, t_start, mask,
+                            rtol=1e-6, atol=1e-8, max_steps=32,
+                            method="adams")
+    t = np.asarray(times[0])
+    np.testing.assert_allclose(np.asarray(hs[0, :2, 0]), 1.0)
+    np.testing.assert_allclose(np.asarray(hs[0, 2:4, 0]),
+                               np.exp(-(t[2:4] - 0.3)), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(hs[0, 4:, 0]),
+                               np.exp(-(t[3] - 0.3)), rtol=1e-4)
+
+
+def test_adams_gradients_and_remat():
+    def loss(h0, remat):
+        field = lambda t, h: -h
+        hs = integrate_adaptive(field, h0, _grid(1, 4), jnp.zeros(1),
+                                jnp.ones((1, 4), bool), rtol=1e-6,
+                                atol=1e-8, max_steps=32, remat=remat,
+                                method="adams")
+        return hs[0, -1, 0]
+
+    g = jax.grad(loss)(jnp.ones((1, 1)), False)
+    gr = jax.grad(loss)(jnp.ones((1, 1)), True)
+    assert float(g[0, 0]) == pytest.approx(np.exp(-1.0), rel=1e-4)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr), rtol=1e-6)
+
+
+def test_adams_strict_flags_budget_exhaustion():
+    # Same exhaustion contract as the RK integrator: strict NaN-poisons,
+    # soft takes a forced step (and restarts the multistep history).
+    def stiff(t, h):
+        return -80.0 * h + jnp.sin(40.0 * t)[:, None]
+
+    h0 = jnp.ones((4, 3))
+    times = jnp.tile(jnp.linspace(0.2, 1.0, 5)[None, :], (4, 1))
+    t0 = jnp.zeros((4,))
+    mask = jnp.ones_like(times, dtype=bool)
+    soft = integrate_adaptive(stiff, h0, times, t0, mask,
+                              rtol=1e-10, atol=1e-12, max_steps=1,
+                              method="adams")
+    hard = integrate_adaptive(stiff, h0, times, t0, mask,
+                              rtol=1e-10, atol=1e-12, max_steps=1,
+                              strict=True, method="adams")
+    assert bool(jnp.isfinite(soft).all())
+    assert bool(jnp.isnan(hard).any())

@@ -45,8 +45,9 @@ class SolverConfig:
                                 # PECE) — Adams order is capped at n_sub
                                 # per interval (warned when < 4, see
                                 # __post_init__); adaptive RK: dopri5|
-                                # bosh3|adaptive_heun|fehlberg2|dopri8 —
-                                # the torchdiffeq method surface the
+                                # bosh3|adaptive_heun|fehlberg2|dopri8;
+                                # adaptive-order multistep: adams (VCABM)
+                                # — the torchdiffeq method surface the
                                 # reference passes through,
                                 # src/model.py:103-106
 
@@ -218,16 +219,15 @@ class SolverConfig:
             raise ValueError("u_layers must be >= 1")
         valid = ("euler", "midpoint", "heun", "rk4", "explicit_adams",
                  "fixed_adams", "dopri5", "bosh3", "adaptive_heun",
-                 "fehlberg2", "dopri8")
+                 "fehlberg2", "dopri8", "adams")
         if self.solver not in valid:
             hint = ""
-            if self.solver in ("adams", "implicit_adams"):
-                # torchdiffeq's adaptive-order variable-coefficient Adams;
-                # substituting a different scheme silently would be wrong.
-                hint = (" (the adaptive-order 'adams' solver is not "
-                        "implemented; 'fixed_adams' is the fixed-step "
-                        "predictor-corrector Adams, 'dopri5' the adaptive "
-                        "default)")
+            if self.solver == "implicit_adams":
+                # not a torchdiffeq-0.1.1 name (the reference's pin);
+                # point at the two Adams solvers that do exist here.
+                hint = (" ('fixed_adams' is the fixed-step "
+                        "predictor-corrector Adams, 'adams' the "
+                        "adaptive-order VCABM)")
             raise ValueError(
                 f"unknown solver {self.solver!r}; valid: {valid}{hint}")
         if self.ode_max_steps < 1:

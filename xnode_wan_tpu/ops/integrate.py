@@ -83,7 +83,7 @@ _AM = {  # first coefficient multiplies f(t_{k+1}, h_predicted)
 FIXED_METHODS = ("euler", "midpoint", "heun", "rk4",
                  "explicit_adams", "fixed_adams")
 ADAPTIVE_METHODS = ("dopri5", "bosh3", "adaptive_heun", "fehlberg2",
-                    "dopri8")
+                    "dopri8", "adams")
 
 # Embedded Runge-Kutta tableaus for the adaptive integrator:
 # (c nodes, A rows, b_high, b_low, controller order — the error
@@ -221,6 +221,278 @@ def _embedded_step(tableau, field: Field, t, h, dt):
     return h_hi, err
 
 
+# ---------------------------------------------------------------------------
+# Adaptive-order Adams (torchdiffeq's ``adams``): variable-coefficient
+# Adams-Bashforth-Moulton (VCABM) after Shampine & Gordon, the method
+# torchdiffeq dispatches for the ``adams`` config string — the last name
+# of the reference's torchdiffeq method surface (``src/model.py:103-106``).
+# PE(CE): a divided-difference Adams-Bashforth predictor of the current
+# order, one corrector application (the order-k Adams-Moulton in modified-
+# divided-difference form), a second evaluation to refresh the difference
+# table, with per-step error control AND per-step order selection (raise/
+# lower by comparing the embedded order k-2..k+1 error estimates).
+# Vectorized per path: every controller scalar becomes an [N] array, the
+# difference table phi a static [N, K+1, H] buffer (entries beyond a
+# path's current order are kept exactly zero), and the step/order
+# decisions run under masks inside the same bounded-attempts scan
+# structure as the embedded-RK integrator above.
+
+_DEBUG_VCABM = False
+_VCABM_MAX_ORDER = 12   # torchdiffeq's cap; order adapts in [1, 12]
+
+
+def _gamma_star(n: int):
+    """First ``n`` Adams-Moulton gamma* coefficients, exact.
+
+    gamma*_0 = 1,  gamma*_k = -sum_{j<k} gamma*_j / (k + 1 - j) — the
+    standard generating-function recurrence (Hairer I.III.1); used by the
+    Shampine-Gordon order-raise test ERK+1 ~ |dt * gamma*_{k+1} *
+    phi_{k+1}|.
+    """
+    from fractions import Fraction
+    gs = [Fraction(1)]
+    for k in range(1, n):
+        gs.append(-sum(g / (k + 1 - j) for j, g in enumerate(gs)))
+    return tuple(float(g) for g in gs)
+
+
+def _vcabm_coeffs(tprev, next_t, dtype):
+    """Variable-step Adams coefficients ``g [N, K+1]``, ``beta [N, K]``.
+
+    The Shampine-Gordon recurrences on the history of accepted step
+    times: ``beta_j`` rescales the stored modified divided differences to
+    the current step ratio; ``g_j`` are the quadrature weights of the
+    order-(j+1) predictor. Computed to full static width with safe
+    denominators — entries at ``j >= order`` are garbage-but-finite and
+    are only ever multiplied by exactly-zero ``phi`` rows or masked off
+    downstream. Pure functions of the (gradient-free) time history, so
+    the whole block is stop_gradient'd (discretize-then-optimize, same
+    policy as the RK controller above).
+    """
+    K = _VCABM_MAX_ORDER
+    t0 = tprev[:, 0]
+    dtv = next_t - t0
+
+    def safe(x):
+        return jnp.where(jnp.abs(x) > 1e-30, x, 1.0)
+
+    # beta_j = prod_{i<j} (t_{n+1} - t_{n-i}) / (t_n - t_{n-1-i})
+    # (Hairer III.5.9; == 1 on a uniform grid)
+    betas = [jnp.ones_like(t0)]
+    for j in range(1, K):
+        betas.append(betas[-1] * (next_t - tprev[:, j - 1])
+                     / safe(t0 - tprev[:, j]))
+    beta = jnp.stack(betas, axis=1)                       # [N, K]
+
+    c = jnp.broadcast_to(1.0 / jnp.arange(1, K + 2, dtype=dtype),
+                         (t0.shape[0], K + 1))
+    g_list = [jnp.ones_like(t0)]
+    for j in range(1, K + 1):
+        if j == 1:
+            c = c[:, :-1] - c[:, 1:]
+        else:
+            fac = (dtv / safe(next_t - tprev[:, j - 1]))[:, None]
+            c = c[:, :-1] - c[:, 1:] * fac
+        g_list.append(c[:, 0])
+    g = jnp.stack(g_list, axis=1)                         # [N, K+1]
+    return jax.lax.stop_gradient(g), jax.lax.stop_gradient(beta)
+
+
+def _integrate_vcabm(field, h0, times, t_start, mask, rtol, atol,
+                     max_steps, remat, strict):
+    """VCABM along each path's sample grid (see header comment above).
+
+    Same contract as ``integrate_adaptive``: bounded ``max_steps``
+    attempts per sample interval, masked per-path start/exit, steps
+    clamped to land exactly on sample times (torchdiffeq's ``advance``
+    likewise clamps — the landing step is a genuine history point, no
+    interpolation). Unlike the one-step RK pairs the method is stateful:
+    the difference table, time history, order and step size carry across
+    sample intervals in the scan carry.
+    """
+    K = _VCABM_MAX_ORDER
+    dtype = h0.dtype
+    n = h0.shape[0]
+    gs_tab = jnp.asarray(_gamma_star(K + 2), dtype)       # [K+2]
+    jidx = jnp.arange(K + 1)
+
+    def take1(a, idx):                                     # [N,W],[N] -> [N]
+        return jnp.take_along_axis(a, idx[:, None], axis=1)[:, 0]
+
+    def takeh(a, idx):                                     # [N,W,H] -> [N,H]
+        ix = jnp.broadcast_to(idx[:, None, None],
+                              (a.shape[0], 1, a.shape[2]))
+        return jnp.take_along_axis(a, ix, axis=1)[:, 0]
+
+    def ratio(le, tol):
+        return jax.lax.stop_gradient(
+            jnp.sqrt(jnp.mean((le / tol) ** 2, axis=-1)))
+
+    def interval(carry, t1v):
+        h, t, dt, order, nhist, tprev, phi = carry
+        span = jnp.maximum(t1v - t, 0.0)
+
+        def body(_, carry):
+            h, t, dt, order, nhist, tprev, phi = carry
+            active = t < t1v - 1e-12
+            # lazy per-path init: first attempt of the first NONZERO
+            # interval starts at span/8 (order 1 — the controller
+            # adapts). Gated on ``active`` so a zero-width leading
+            # interval (the T0 shortcut) cannot consume the init with a
+            # degenerate span.
+            dt = jnp.where((dt <= 0) & active,
+                           jnp.maximum(span, 1e-12) / 8.0, dt)
+            dt_eff = jnp.maximum(
+                jnp.minimum(jnp.where(active, dt, 0.0), t1v - t), 0.0)
+            next_t = t + dt_eff
+
+            g, beta = _vcabm_coeffs(tprev, next_t, dtype)
+            expl = phi[:, :K, :] * beta[:, :, None]        # [N, K, H]
+            # "order k" here = k predictor terms: p is the order-k
+            # Adams-Bashforth value, the corrector's g_k*phi^p_k term
+            # turns it into the order-(k+1) Adams-Moulton value (the
+            # successive-order identity y^(m+1) - y^(m) =
+            # dt*(g_{m+1}-g_m)*phi^p_{m+1}, which also gives the error
+            # estimates below). k ranges 1..K-1, so the corrector order
+            # tops out at K = 12 — torchdiffeq's max_order.
+            pm = (jidx[None, :K] < order[:, None]).astype(dtype)
+            p = h + dt_eff[:, None] * jnp.einsum(
+                "nj,njh->nh", g[:, :K] * pm, expl)
+
+            f_p = field(next_t, p)
+            # predictor difference table phi^p_j = f_p - sum_{i<j} expl_i
+            prefix = jnp.concatenate(
+                [jnp.zeros((n, 1) + f_p.shape[1:], dtype),
+                 jnp.cumsum(expl, axis=1)], axis=1)        # [N, K+1, H]
+            php = f_p[:, None, :] - prefix                 # [N, K+1, H]
+
+            y_next = p + dt_eff[:, None] * take1(g, order)[:, None] \
+                * takeh(php, order)
+
+            tol = atol + rtol * jnp.maximum(jnp.abs(h), jnp.abs(y_next))
+            le_k = dt_eff[:, None] * (take1(g, order + 1)
+                                      - take1(g, order))[:, None] \
+                * takeh(php, order + 1)
+            err_k = ratio(le_k, tol)
+            accept = (err_k <= 1.0) & active
+
+            # second evaluation refreshes the difference table (PECE)
+            f_n = field(next_t, y_next)
+            phi_full = f_n[:, None, :] - prefix            # [N, K+1, H]
+            keep = (jidx[None, :] <= (order + 1)[:, None])[:, :, None]
+            phi_new = jnp.where(keep, phi_full, 0.0)
+
+            # order selection (Shampine-Gordon style): startup ramps
+            # 1 -> 3, then compare the embedded estimates at orders
+            # k-2..k+1 (same successive-order identity; the raise test
+            # uses the gamma* proxy on the freshest high difference)
+            om1 = jnp.maximum(order - 1, 0)
+            om2 = jnp.maximum(order - 2, 0)
+            err_km1 = ratio(dt_eff[:, None] * (take1(g, order)
+                                               - take1(g, om1))[:, None]
+                            * takeh(php, order), tol)
+            err_km2 = ratio(dt_eff[:, None] * (take1(g, om1)
+                                               - take1(g, om2))[:, None]
+                            * takeh(php, om1), tol)
+            err_kp1 = ratio(dt_eff[:, None]
+                            * take1(jnp.broadcast_to(gs_tab, (n, K + 2)),
+                                    order + 2)[:, None]
+                            * takeh(phi_full, order + 1), tol)
+            # lower only when BOTH lower-order estimates beat order k
+            # (Shampine-Gordon's max-test; a min-test thrashes in f32
+            # roundoff noise once the higher differences hit the
+            # precision floor, pinning dt via the raise-keeps-dt rule)
+            down = jnp.maximum(err_km1, err_km2) <= err_k
+            up = (~down) & (order < K - 1) & (err_kp1 < err_k)
+            adaptive = order + jnp.where(down, -1, jnp.where(up, 1, 0))
+            startup = (nhist <= 4) | (order < 3)
+            next_order = jnp.clip(
+                jnp.where(startup, jnp.minimum(order + 1, 3), adaptive),
+                1, K - 1)
+
+            # step controller (torchdiffeq's constants: safety 0.9,
+            # growth <= 10, shrink >= 0.2; exponent 1/(order+2) — the
+            # corrector is order+1, local error ~ dt^(order+2)); a step
+            # that raises the order keeps its size
+            fac = jnp.clip(
+                0.9 * (err_k + 1e-12)
+                ** (-1.0 / (order.astype(dtype) + 2.0)), 0.2, 10.0)
+            if _DEBUG_VCABM:
+                jax.debug.print(
+                    "    err_k={e} km1={a} km2={b} kp1={c} fac={f} "
+                    "acc={ac} dt_eff={d}", e=err_k[0], a=err_km1[0],
+                    b=err_km2[0], c=err_kp1[0], f=fac[0], ac=accept[0],
+                    d=dt_eff[0])
+            dt_acc = jnp.where(next_order > order, dt_eff, dt_eff * fac)
+            dt_rej = dt_eff * fac
+            dt_new = jnp.where(accept, dt_acc, dt_rej)
+            dt = jnp.where(active,
+                           jnp.maximum(dt_new, span / 1e4), dt)
+
+            acc_h = accept[:, None]
+            h = jnp.where(acc_h, y_next, h)
+            t = jnp.where(accept, next_t, t)
+            tprev = jnp.where(
+                acc_h, jnp.concatenate([next_t[:, None], tprev[:, :-1]],
+                                       axis=1), tprev)
+            phi = jnp.where(accept[:, None, None], phi_new, phi)
+            order = jnp.where(accept, next_order, order)
+            nhist = jnp.where(accept, jnp.minimum(nhist + 1, K + 2),
+                              nhist)
+            return h, t, dt, order, nhist, tprev, phi
+
+        h, t, dt, order, nhist, tprev, phi = jax.lax.fori_loop(
+            0, max_steps, body, (h, t, dt, order, nhist, tprev, phi))
+
+        # budget exhaustion: same contract as the RK integrator — strict
+        # NaN-poisons; otherwise one forced error-UNCHECKED Euler step
+        # over the remainder, after which the multistep history is no
+        # longer consistent and is restarted (order 1) at t1.
+        left = jnp.maximum(t1v - t, 0.0)
+        exhausted = left > 1e-12
+        if strict:
+            h = jnp.where(exhausted[:, None], jnp.nan, h)
+        else:
+            h_forced = h + left[:, None] * field(t, h)
+            h = jnp.where(exhausted[:, None], h_forced, h)
+            f1 = field(t1v, h)
+            phi_reset = jnp.zeros_like(phi).at[:, 0, :].set(f1)
+            tprev_reset = (t1v[:, None]
+                           - jnp.arange(K, dtype=dtype)[None, :])
+            phi = jnp.where(exhausted[:, None, None], phi_reset, phi)
+            tprev = jnp.where(exhausted[:, None], tprev_reset, tprev)
+            order = jnp.where(exhausted, 1, order)
+            nhist = jnp.where(exhausted, 1, nhist)
+        t = jnp.where(exhausted, t1v, t)
+        return (h, t, dt, order, nhist, tprev, phi)
+
+    def step(carry, inp):
+        t_l, m_l = inp
+        h, t, dt, order, nhist, tprev, phi = carry
+        t1 = jnp.where(m_l, jnp.maximum(t_l, t), t)
+        new = interval(carry, t1)
+        carry = tuple(
+            jnp.where(m_l.reshape((-1,) + (1,) * (a.ndim - 1)), a, b)
+            for a, b in zip(new, carry))
+        return carry, carry[0]
+
+    if remat:
+        step = jax.checkpoint(step)
+
+    t0 = jnp.asarray(t_start, dtype)
+    f0 = field(t0, h0)
+    phi0 = jnp.zeros((n, K + 1) + h0.shape[1:], dtype).at[:, 0, :].set(f0)
+    # staggered fake history times keep the coefficient denominators
+    # finite before real history exists (their phi rows are zero)
+    tprev0 = t0[:, None] - jnp.arange(K, dtype=dtype)[None, :]
+    carry0 = (h0, t0, jnp.zeros_like(t0),
+              jnp.ones((n,), jnp.int32), jnp.ones((n,), jnp.int32),
+              tprev0, phi0)
+    xs = (jnp.moveaxis(times, 1, 0), jnp.moveaxis(mask, 1, 0))
+    _, hs = jax.lax.scan(step, carry0, xs)
+    return jnp.moveaxis(hs, 0, 1)
+
+
 def integrate_adaptive(
     field: Field,
     h0: jax.Array,
@@ -244,10 +516,14 @@ def integrate_adaptive(
     program; finished paths idle under the mask). ``method`` selects the
     embedded pair — ``dopri5`` (RK5(4)), ``bosh3`` (RK3(2)),
     ``adaptive_heun`` (RK2(1)), ``fehlberg2`` (RK2(1)), ``dopri8``
-    (Hairer's RK8(5)) — the torchdiffeq adaptive method surface the
-    reference exposes (``src/model.py:103-106``); tolerances via
-    config (``ode_rtol``/``ode_atol``/``ode_max_steps``).
+    (Hairer's RK8(5)) — or the adaptive-order multistep ``adams``
+    (VCABM, see ``_integrate_vcabm``): the full torchdiffeq adaptive
+    method surface the reference exposes (``src/model.py:103-106``);
+    tolerances via config (``ode_rtol``/``ode_atol``/``ode_max_steps``).
     """
+    if method == "adams":
+        return _integrate_vcabm(field, h0, times, t_start, mask, rtol,
+                                atol, max_steps, remat, strict)
     tableau = _tableau(method)
     inv_order = 1.0 / tableau[4]
 
