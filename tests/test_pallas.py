@@ -126,6 +126,20 @@ def test_fused_gate_single_predicate():
     _, fmesh, mesh_ok = fused_gate(SolverConfig(**base), other)
     assert not mesh_ok and fmesh is None
 
+    # tangent_shards > 1: the kernel's shard_map only shards the data
+    # axis, so a data x tangent mesh must fall back to the XLA path
+    # (which genuinely shards the tangent batch) instead of silently
+    # replicating kernel compute across the tangent devices.
+    devs2 = np.array(jax.devices()[:2]).reshape(1, 2)
+    tmesh = Mesh(devs2, ("data", "tangent"))
+    _, fmesh, mesh_ok = fused_gate(SolverConfig(**base), tmesh)
+    assert not mesh_ok and fmesh is None
+    # ...but a degenerate (size-1) extra axis is a plain data layout.
+    tmesh1 = Mesh(np.array(jax.devices()[:2]).reshape(2, 1),
+                  ("data", "tangent"))
+    _, fmesh, mesh_ok = fused_gate(SolverConfig(**base), tmesh1)
+    assert mesh_ok and fmesh is tmesh1
+
 
 def test_fused_evaluate_sharded_matches_unsharded(key):
     # Data-parallel serving: the same kernel under shard_map over the

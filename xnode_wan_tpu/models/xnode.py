@@ -191,10 +191,19 @@ def evaluate_points(params: Dict[str, Any], pts: jax.Array, problem,
             and cfg.solver in FUSED_KERNEL_METHODS
             and jax.default_backend() == "tpu"):
         from xnode_wan_tpu.ops.pallas.xnode_eval import fused_evaluate
-        pts0 = pts.at[:, 0].set(cfg.T0)
+        # Seed through path_seed_fn — the ONE seeding definition shared
+        # with the XLA forward and the fused training kernel (for every
+        # h-seeded point ``domain.entry`` returns ``t_entry == T0``, so a
+        # single-sample batch at the entry time reproduces the reference
+        # recipe exactly).
         entry_pts = pts.at[:, 0].set(t_entry)
-        seed = jnp.where(seed_from_h, problem.h(pts0),
-                         problem.g(entry_pts)) / scale
+        seed_batch = PathBatch(
+            x=entry_pts[:, None, :],
+            mask=jnp.ones((pts.shape[0], 1), dtype=bool),
+            t_start=t_entry,
+            seed_from_h=seed_from_h,
+        )
+        seed = path_seed_fn(seed_batch, problem, cfg)(pts[:, 1:])
         feats = spatial_features(pts[:, 1:], cfg.fourier_features)
         return fused_evaluate(params, pts, seed, k_steps * cfg.n_sub,
                               t_start=t_entry, feats=feats,

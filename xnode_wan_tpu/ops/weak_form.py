@@ -63,15 +63,21 @@ def fused_gate(cfg: SolverConfig, mesh):
     (paths shard, weights replicate, parameter cotangents psum) — that
     requires a plain data layout, so ``mesh_ok`` is False for
     ensemble > 1 (the step is vmapped over members; shard_map does not
-    nest under that vmap — members already fill the idle MXU) and for
-    meshes without the data axis. Other exclusions: x64 parity runs,
-    adaptive/multistep solvers, the WAN primal (the kernel bakes the
-    XNODE architecture), and non-TPU backends.
+    nest under that vmap — members already fill the idle MXU), for
+    meshes without the data axis, and for meshes with any OTHER axis of
+    size > 1 (e.g. ``tangent_shards > 1``): the kernel's shard_map only
+    shards the data axis, so such a mesh would silently *replicate* the
+    kernel across the extra axis's devices, while the XLA path genuinely
+    shards the tangent-widened batch over them. Other exclusions: x64
+    parity runs, adaptive/multistep solvers, the WAN primal (the kernel
+    bakes the XNODE architecture), and non-TPU backends.
     """
     fused_mesh = None
     mesh_ok = mesh is None
     if (mesh is not None and cfg.ensemble == 1
-            and cfg.data_axis in mesh.axis_names):
+            and cfg.data_axis in mesh.axis_names
+            and all(size == 1 for ax, size in mesh.shape.items()
+                    if ax != cfg.data_axis)):
         fused_mesh, mesh_ok = mesh, True
     use_fused = (cfg.primal == "xnode" and cfg.fused_grad and not cfg.x64
                  and cfg.solver in FUSED_KERNEL_METHODS
