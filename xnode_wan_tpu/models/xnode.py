@@ -147,6 +147,47 @@ def apply_xnode(params: Dict[str, Any], batch: PathBatch, problem,
     return linear(params["readout"], hs)[..., 0] * scale   # [N, L]
 
 
+def apply_xnode_adjoint(params: Dict[str, Any], batch: PathBatch, problem,
+                        cfg: SolverConfig) -> jax.Array:
+    """:func:`apply_xnode` with the **continuous-adjoint** backward pass.
+
+    The TPU-native ``odeint_adjoint`` (reference ``src/model.py:8,103``):
+    reverse-mode gradients w.r.t. ``params`` integrate the adjoint ODE
+    backward in time (``ops/adjoint.py``) instead of differentiating
+    through the scan — O(1) activation memory in the substep count, at
+    the cost of gradients exact only up to discretization error.
+
+    Scope: reverse-mode-only consumers (e.g. a plain supervised/collocation
+    loss on u, or research use). The shipped weak-form training objective
+    needs *forward-mode* spatial tangents through the integrator, which a
+    ``jax.custom_vjp`` function cannot provide (JAX disallows ``jvp`` of
+    ``custom_vjp``) — so ``adjoint: true`` in the solver config maps to
+    ``jax.checkpoint`` remat, the memory-equivalent that composes with
+    both AD modes (measured A/B: benchmarks/ab_adjoint.json; decision:
+    docs/DESIGN.md).
+    """
+    if cfg.solver in ADAPTIVE_METHODS or cfg.solver in ("explicit_adams",
+                                                        "fixed_adams"):
+        raise ValueError(
+            "continuous adjoint supports the fixed-step RK methods "
+            f"(euler|midpoint|heun|rk4), not {cfg.solver!r}")
+    from xnode_wan_tpu.ops.adjoint import make_adjoint_integrator
+
+    xs = batch.space[:, 0, :]
+    scale = jnp.asarray(cfg.u_scale_eff, xs.dtype)
+    seed = path_seed_fn(batch, problem, cfg)(xs)[:, None]
+    h0 = lift_apply(params, seed)
+    xs_f = spatial_features(xs, cfg.fourier_features)
+
+    def field_fn(field_params, xf, t, h):
+        return field_apply({"field": field_params}, xf, t, h)
+
+    run = make_adjoint_integrator(field_fn, cfg.n_sub, cfg.solver)
+    hs = run(params["field"], xs_f, h0, batch.times,
+             jnp.asarray(batch.t_start, h0.dtype), batch.mask)
+    return linear(params["readout"], hs)[..., 0] * scale   # [N, L]
+
+
 def evaluate_points(params: Dict[str, Any], pts: jax.Array, problem,
                     cfg: SolverConfig, k_steps: int | None = None,
                     domain=None, mesh=None) -> jax.Array:
@@ -171,8 +212,19 @@ def evaluate_points(params: Dict[str, Any], pts: jax.Array, problem,
     """
     if k_steps is None:
         k_steps = max(cfg.min_steps, cfg.N_t)
-    if mesh is not None and cfg.data_axis not in mesh.axis_names:
-        mesh = None  # member-only ensemble mesh: no point axis to shard
+    if mesh is not None and (
+            cfg.data_axis not in mesh.axis_names
+            or any(s > 1 for ax, s in mesh.shape.items()
+                   if ax != cfg.data_axis)):
+        # Serving is a pure map with replicated weights, so any training
+        # mesh layout (data x tangent, member x data, member-only)
+        # collapses to a flat data mesh over the SAME devices: every
+        # device serves a point shard, instead of the extra axes silently
+        # replicating compute (the drift species fused_gate excludes for
+        # training) or a data-axis-less mesh dropping parallelism.
+        import numpy as _np
+        from jax.sharding import Mesh
+        mesh = Mesh(_np.asarray(mesh.devices).reshape(-1), (cfg.data_axis,))
     if domain is not None and hasattr(domain, "entry"):
         t_entry, seed_from_h = domain.entry(pts)
     else:
