@@ -34,21 +34,26 @@ def test_round_up():
 
 
 def test_sharded_matches_single_device(tmp_path, problem=None):
+    """Full 20-iteration trajectory agreement, not just the final scalar:
+    a subtle reduction/sharding drift compounds over iterations, so every
+    per-iteration (loss_u, rel_err) must match to reduction-order noise."""
     problem = load_problem("cube_pde", dim=2)
     single = NODEWANSolver(CFG, problem, work_dir=str(tmp_path / "s"),
                            devices=jax.devices()[:1])
     assert single.mesh is None
-    m1 = single.train(report=False)
+    h1 = single.train_until(1e-9, 20, window=20)
 
     mesh = make_mesh(jax.devices())
     sharded = NODEWANSolver(CFG, problem, work_dir=str(tmp_path / "m"),
                             mesh=mesh)
     assert sharded.mesh.size == 8
-    m8 = sharded.train(report=False)
+    h8 = sharded.train_until(1e-9, 20, window=20)
 
-    # identical seeds => same trajectory up to reduction-order noise
-    assert m8["loss_u"] == pytest.approx(m1["loss_u"], rel=1e-3)
-    assert m8["rel_err"] == pytest.approx(m1["rel_err"], rel=1e-3)
+    assert h8["iterations_run"] == h1["iterations_run"] == 20
+    for name in ("loss_u", "rel_err"):
+        np.testing.assert_allclose(np.asarray(h8[name]),
+                                   np.asarray(h1[name]),
+                                   rtol=2e-4, atol=1e-8, err_msg=name)
 
 
 def test_batch_actually_sharded():
@@ -148,11 +153,32 @@ def test_predict_sharded_matches_single(tmp_path):
 
 
 def test_predict_member_only_mesh_runs(tmp_path):
-    """A member-only ensemble mesh has no point axis to shard — predict()
-    must fall back to unsharded serving, not error."""
+    """A member-only ensemble mesh collapses to a flat data mesh for
+    serving (pure map — every device serves a point shard)."""
     problem = load_problem("cube_pde", dim=2)
     cfg = CFG.replace(ensemble=16, N_r=16, N_b=16)
     s = NODEWANSolver(cfg, problem, work_dir=str(tmp_path),
                       mesh=make_mesh(jax.devices()))
     pts = jnp.array([[0.2, 0.1, -0.3], [0.5, 0.4, 0.2]])
     assert np.isfinite(np.asarray(s.predict(pts))).all()
+
+
+def test_predict_multi_axis_mesh_collapses(tmp_path):
+    """Serving under a data x tangent training mesh: evaluate_points must
+    collapse the 4x2 mesh to a flat 8-way data mesh (all devices serve a
+    point shard — no silent replication over the tangent axis) and match
+    the single-device values."""
+    from xnode_wan_tpu.parallel.mesh import make_mesh_2d
+    problem = load_problem("cube_pde", dim=2)
+    cfg = CFG.replace(tangent_shards=2)
+    single = NODEWANSolver(CFG, problem, work_dir=str(tmp_path / "s"),
+                           devices=jax.devices()[:1])
+    mesh = make_mesh_2d(jax.devices(), tangent_shards=2)
+    sharded = NODEWANSolver(cfg, problem, work_dir=str(tmp_path / "t"),
+                            mesh=mesh)
+    pts = jax.random.uniform(jax.random.PRNGKey(5), (13, 3),
+                             minval=-0.8, maxval=0.8)
+    pts = pts.at[:, 0].set(jnp.abs(pts[:, 0]))
+    u1 = np.asarray(single.predict(pts))
+    u8 = np.asarray(sharded.predict(pts))
+    np.testing.assert_allclose(u8, u1, rtol=1e-6, atol=1e-7)
