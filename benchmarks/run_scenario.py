@@ -26,8 +26,14 @@ def main():
     ap.add_argument("--out", required=True)
     ap.add_argument("--fine-tune-tol", type=float, default=None,
                     help="two-phase: after reaching --tol, drop the "
-                         "learning rate 10x and continue to this tolerance")
+                         "learning rate 10x and continue to this tolerance "
+                         "(superseded by --stall-action drop_lr, which "
+                         "triggers the same recipe automatically)")
     ap.add_argument("--fine-tune-iters", type=int, default=4000)
+    ap.add_argument("--stall-action", default="none",
+                    choices=["none", "drop_lr", "reinit_v", "restart"],
+                    help="train_until stall self-healing (drop_lr = the "
+                         "automatic two-phase lr recipe inside the solver)")
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args()
 
@@ -60,7 +66,8 @@ def main():
     problem = load_problem(args.problem, dim=cfg.dim)
     solver = NODEWANSolver(cfg, problem, work_dir="/tmp/scenario_run")
     t0 = time.time()
-    hist = solver.train_until(args.tol, args.max_iters, window=args.window)
+    hist = solver.train_until(args.tol, args.max_iters, window=args.window,
+                              stall_action=args.stall_action)
     phase2 = None
     if (args.fine_tune_tol is not None
             and hist["rel_err_final"] < args.tol):
@@ -108,8 +115,11 @@ def main():
                    + (f" --fine-tune-tol {args.fine_tune_tol}"
                       f" --fine-tune-iters {args.fine_tune_iters}"
                       if args.fine_tune_tol is not None else "")
+                   + (f" --stall-action {args.stall_action}"
+                      if args.stall_action != "none" else "")
                    + ("".join(" " + kv for kv in args.overrides)),
         "fine_tune": phase2,
+        "stall_action": args.stall_action,
         "converged": hist["rel_err_final"] < final_tol,
         "rel_err_final": float(hist["rel_err_final"]),
         "best_rel_err": min(rel) if rel else None,

@@ -33,19 +33,21 @@ SCENARIOS = {
     "cone": ("configs/cone_pde.yaml", "Ex4_1_funcs", 0.01, 2000, 200,
              [], []),
     # hourglass oscillates at 1.1-2.4% under the flat lr (fresh-sample MC
-    # noise on the hardest moving domain); the two-phase lr-drop recipe
-    # settles it — phase 1 to 2%, then 10x lr drop to 1%.
-    "hourglass": ("configs/hourglass_pde.yaml", "Ex4_1_funcs", 0.02, 2000,
-                  200, ["--fine-tune-tol", "0.01",
-                        "--fine-tune-iters", "3000"], []),
+    # noise on the hardest moving domain); the lr-drop recipe settles it —
+    # since round 5 the solver triggers it ITSELF via the stall detector
+    # (train_until stall_action="drop_lr"), no harness phase plumbing.
+    "hourglass": ("configs/hourglass_pde.yaml", "Ex4_1_funcs", 0.01, 5000,
+                  200, ["--stall-action", "drop_lr"], []),
     "d20_cube_ensemble": ("configs/cube_pde.yaml", "Ex4_1_funcs", 0.01,
                           1500, 100, [], ["dim=20", "ensemble=4"]),
     "d50_cube": ("configs/cube_pde.yaml", "Ex4_1_funcs", 0.01, 1500, 100,
                  [], ["dim=50"]),
+    # same automatic recipe on the d=20 product-of-sines stress: one flat
+    # train_until(0.01), the stall detector drops the lr when phase 1
+    # plateaus (was: hand-plumbed --fine-tune-tol two-phase until round 4)
     "d20_sines_twophase": ("configs/highdim_d20.yaml", "Ex4_3_consistent",
-                           0.05, 2000, 100,
-                           ["--fine-tune-tol", "0.01",
-                            "--fine-tune-iters", "4000"], []),
+                           0.01, 6000, 100,
+                           ["--stall-action", "drop_lr"], []),
     "wan_d5": ("configs/cube_pde.yaml", "Ex4_1_funcs", 0.01, 12000, 500,
                [], ['primal="wan"']),
     # adaptive-solver parity: the torchdiffeq `solver` surface the

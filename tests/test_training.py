@@ -415,6 +415,22 @@ def test_train_until_stall_actions(problem, tmp_path):
     assert not np.allclose(flat(s2.state.u_params), u0)  # multi-start reroll
 
 
+def test_train_until_stall_drop_lr(problem, tmp_path):
+    # "drop_lr" = the automatic two-phase recipe: each certified stall
+    # scales both Adam rates 10x down (fresh moments), at most
+    # max_lr_drops times — the frozen-lr run stalls on every window, so
+    # the drop count must hit the cap and stop there.
+    frozen = SMALL.replace(u_rate=1e-30, v_rate=1e-30, iterations=40)
+    s = NODEWANSolver(frozen, problem, work_dir=str(tmp_path))
+    s.train_until(1e-9, 40, window=4, stall_action="drop_lr",
+                  max_lr_drops=2)
+    # 10 windows all stalled, but only max_lr_drops drops applied
+    assert s.cfg.u_rate == pytest.approx(1e-30 * 0.01)
+    assert s.cfg.v_rate == pytest.approx(1e-30 * 0.01)
+    # constant-lr drop reuses the compiled window program (no rebuild)
+    assert s._train_until_cache, "program cache was cleared by the drop"
+
+
 def test_stall_test_sees_full_windows_under_tiny_dispatches(
         problem, tmp_path, monkeypatch):
     # The dynamic dispatch cap can make single dispatches as short as 8

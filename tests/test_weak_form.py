@@ -207,3 +207,33 @@ def test_s1_initial_value_respects_seed_switch():
     # s2 = s3 = 0 (dphi, c, f zero); s1 row0: u*phi - h = 1 - 2 = -1;
     # row1 (re-entry at t=0.4): 1 - g(0.4) = 1 - 3.4 = -2.4; mean = -1.7
     np.testing.assert_allclose(float(current), -1.7, rtol=1e-6)
+
+
+def test_init_loss_all_rows_flag():
+    # Default: init penalty over h-seeded rows only. init_all_rows=True is
+    # the reference-parity mode (src/loss.py:78-80 applies h to every row,
+    # including g-seeded re-entry segments). On an all-h-seeded batch
+    # (Hypercube) the two must coincide.
+    from types import SimpleNamespace
+    from xnode_wan_tpu.ops.sampling import PathBatch, _assemble
+    from xnode_wan_tpu.ops.weak_form import init_loss
+
+    problem = SimpleNamespace(h=lambda X: jnp.full(X.shape[:-1], 2.0))
+    times = jnp.array([[0.0, 0.5, 1.0], [0.4, 0.7, 1.0]])
+    x = jnp.array([[0.1, 0.2], [0.1, 0.2]])
+    batch = PathBatch(x=_assemble(times, x),
+                      mask=jnp.ones((2, 3), dtype=bool),
+                      t_start=jnp.array([0.0, 0.4]),
+                      seed_from_h=jnp.array([True, False]))
+    u = jnp.array([[1.0, 0.0, 0.0], [5.0, 0.0, 0.0]])
+    # restricted: only row 0 counts -> (1-2)^2 = 1
+    np.testing.assert_allclose(float(init_loss(u, batch, problem)), 1.0)
+    # all rows: ((1-2)^2 + (5-2)^2)/2 = 5
+    np.testing.assert_allclose(
+        float(init_loss(u, batch, problem, all_rows=True)), 5.0)
+    # all-h-seeded batch: identical either way
+    both_h = PathBatch(x=batch.x, mask=batch.mask, t_start=batch.t_start,
+                       seed_from_h=jnp.array([True, True]))
+    np.testing.assert_allclose(
+        float(init_loss(u, both_h, problem)),
+        float(init_loss(u, both_h, problem, all_rows=True)))

@@ -118,6 +118,13 @@ class SolverConfig:
     s1_raw_v: bool = False      # reference-parity temporal term with raw v
                                 # (loss.py:64); default uses phi = v*w, the
                                 # IBP-consistent form (see ops/weak_form.py)
+    init_all_rows: bool = False  # reference-parity: penalize u(t_first)-h
+                                # on ALL rows (reference src/loss.py:78-80
+                                # applies h even to boundary re-entry
+                                # segments); default restricts the init
+                                # term to h-seeded paths (re-entry rows
+                                # start from g, not h). Identical on the
+                                # Hypercube (every row starts at T0)
     independent_uv: bool = False  # reference-parity: draw an INDEPENDENT
                                 # interior cloud for the v side and pair
                                 # u(X) with phi(XV) elementwise (reference

@@ -223,12 +223,22 @@ def interior_terms(u: jax.Array, du: jax.Array, v: jax.Array, phi: jax.Array,
     return current, norm
 
 
-def init_loss(u: jax.Array, batch: PathBatch, problem) -> jax.Array:
-    """``mean (u(T0, x) - h(x))^2`` over h-seeded paths (loss.py:78-80)."""
+def init_loss(u: jax.Array, batch: PathBatch, problem,
+              all_rows: bool = False) -> jax.Array:
+    """``mean (u(t_first, x) - h(x))^2`` (loss.py:78-80).
+
+    Default: over h-seeded paths only — a boundary re-entry segment
+    (hourglass) starts from ``g`` at its entry time, so penalizing it
+    toward the *initial* data ``h`` there is a bias. ``all_rows=True`` is
+    the reference-parity mode: the reference applies ``h`` on every row
+    of the batch (``src/loss.py:78-80`` — a group-loop artifact; on the
+    Hypercube the two are identical since every row starts at ``T0``).
+    """
     first, _, row_valid = _endpoint_indices(batch.mask)
     rows = jnp.arange(u.shape[0])
     h_vals = problem.h(batch.x[rows, first])
-    w = (batch.seed_from_h & row_valid).astype(u.dtype)
+    w_rows = row_valid if all_rows else (batch.seed_from_h & row_valid)
+    w = w_rows.astype(u.dtype)
     sq = (u[rows, first] - h_vals) ** 2
     return jnp.sum(sq * w) / jnp.maximum(w.sum(), 1.0)
 
@@ -462,7 +472,7 @@ def make_losses(problem, domain, cfg: SolverConfig, u_apply: Callable,
         """loss_u with the adversary side precomputed (hoisted)."""
         u, du = u_side(u_params, batch)
         int_loss, aux = int_from_sides(u, du, vside, batch)
-        init = init_loss(u, batch, problem)
+        init = init_loss(u, batch, problem, all_rows=cfg.init_all_rows)
         # NOTE: the boundary term deliberately stays on the XLA scan path
         # even when the fused kernel is active — a tangentless Pallas
         # variant was built and measured SLOWER end-to-end (7.72 vs

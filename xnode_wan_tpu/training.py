@@ -612,7 +612,8 @@ class NODEWANSolver:
     def train_until(self, rel_tol: float, max_iters: int,
                     window: int = 200,
                     window_target_s: Optional[float] = None,
-                    stall_action: str = "none"):
+                    stall_action: str = "none",
+                    max_lr_drops: int = 2):
         """Train to a relative-L^p tolerance with on-device stop checking.
 
         ``lax.while_loop`` over the outer step with the reference's stop
@@ -629,6 +630,20 @@ class NODEWANSolver:
         trajectory-buffer size.
         Records the per-iteration (loss_u, L2, rel_err) trajectory.
         Requires the problem to ship an exact solution.
+
+        ``stall_action``: what to do when a full window shows no
+        statistically significant progress (:func:`_window_stalled`):
+
+        * ``"drop_lr"`` — scale both Adam rates 10x down with fresh
+          moments (:meth:`drop_learning_rate`), at most ``max_lr_drops``
+          times. This is the two-phase refinement recipe the hourglass
+          and d=20 product-of-sines runs need (flat-lr adversarial
+          dynamics oscillate at 1-2.5x the target near convergence),
+          triggered automatically instead of by harness plumbing. The
+          drop writes the new rate into the optimizer *state*, so every
+          compiled program is reused — no recompile mid-run.
+        * ``"reinit_v"`` — replace the adversary (keeps primal progress).
+        * ``"restart"`` — full multi-start reroll.
         """
         if self.problem.u_sol is None:
             raise ValueError("train_until needs problem.u_sol")
@@ -662,6 +677,7 @@ class NODEWANSolver:
         # against its own minimum and bias the test toward "stalled".
         stall_buf: list = []
         stall_n = 0
+        lr_drops = 0
         # Per-dispatch iteration cap — a DYNAMIC operand of the compiled
         # window program (see _build_train_until), so resizing it never
         # recompiles. Starts at a small cold probe: the first dispatch
@@ -724,7 +740,14 @@ class NODEWANSolver:
                     stalled = _window_stalled(traj, best_rel)
                     best_rel = min(best_rel, float(traj.min()))
                     stall_buf, stall_n = [], 0
-            if stalled and stall_action == "reinit_v":
+            if stalled and stall_action == "drop_lr":
+                if lr_drops < max_lr_drops:
+                    lr_drops += 1
+                    self.drop_learning_rate(0.1)
+                    # The drop changes the dynamics regime; the next
+                    # window competes against the pre-drop best, which a
+                    # genuinely progressing post-drop phase will beat.
+            elif stalled and stall_action == "reinit_v":
                 key, kv = jax.random.split(self.state.key)
                 v_params = init_discriminator(
                     kv, self.cfg.dim, self.cfg.v_hidden_dim,
@@ -941,11 +964,13 @@ class NODEWANSolver:
         sp = cfg.shape_param
         down, up = (sp if isinstance(sp, (tuple, list)) else (-sp, sp))
         try:
+            # resolution/colours mirror the reference's training-loop call
+            # (src/training.py:183: resolution=200, colours=20)
             proj(functools.partial(self._predict, self._u_params_for_eval()),
                  cfg.dim, step, axes=(0, 1), T=cfg.T, T0=cfg.T0,
-                 down=down, up=up, resolution=100, save=True, show=show,
-                 func_u_sol=self.problem.u_sol, work_dir=self.work_dir,
-                 domain=self.domain)
+                 down=down, up=up, resolution=200, colours=20, save=True,
+                 show=show, func_u_sol=self.problem.u_sol,
+                 work_dir=self.work_dir, domain=self.domain)
         except Exception as exc:  # plotting must never kill training
             print(f"plotting failed: {exc!r}")
 
