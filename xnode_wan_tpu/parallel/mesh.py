@@ -34,6 +34,12 @@ def init_distributed(**kwargs) -> None:
     the pod and ``make_mesh`` produces a global mesh whose collectives
     ride ICI within a host and DCN across hosts. Scoped per SURVEY §2:
     "``jax.distributed.initialize`` only if multi-host is ever added".
+
+    Exercised by ``tests/test_distributed.py``: a real 2-process CPU
+    "pod" (4 virtual devices each) initializes through this entry point,
+    both processes build the identical 8-device global mesh via
+    :func:`make_mesh`, and a cross-process ``psum`` over it returns the
+    global device count in every process.
     """
     jax.distributed.initialize(**kwargs)
 
