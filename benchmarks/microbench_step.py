@@ -46,6 +46,10 @@ def main():
     ap.add_argument("--fused-off", action="store_true",
                     help="also time with fused_grad=false for comparison")
     ap.add_argument("--no-write", action="store_true")
+    ap.add_argument("--out", default=None,
+                    help="output path (default microbench_step.json; use "
+                         "e.g. microbench_adaptive_dopri5.json for "
+                         "--set solver=... rows)")
     ap.add_argument("--scan-unroll", type=int, default=None,
                     help="override cfg.scan_unroll (compile-time vs "
                          "runtime tradeoff grid; 0 = full unroll)")
@@ -152,7 +156,8 @@ def main():
         results["xla"] = time_variant(False)
     print(json.dumps(results, indent=1))
     if not args.no_write:
-        with open(os.path.join(HERE, "microbench_step.json"), "w") as fh:
+        out = args.out or os.path.join(HERE, "microbench_step.json")
+        with open(out, "w") as fh:
             json.dump(results, fh, indent=1)
 
 
