@@ -87,6 +87,8 @@ VARIANTS = {
     "unroll1": {"scan_unroll": 1},
     "no_fused_unroll4": {"fused_grad": False, "use_pallas": False,
                          "scan_unroll": 4},
+    "no_fused_unroll1": {"fused_grad": False, "use_pallas": False,
+                         "scan_unroll": 1},
     "no_remat": {"remat_scan": False},
 }
 

@@ -497,6 +497,30 @@ def test_drop_learning_rate_with_schedule(problem, tmp_path):
         np.testing.assert_allclose(a, b, atol=1e-4)
 
 
+def test_chunked_exact_stop_state(problem, tmp_path):
+    # A mid-chunk stop must checkpoint the STOP-iteration state (params,
+    # Adam moments, PRNG, step) — not the end-of-chunk state the device
+    # ran ahead to. The replay path rewinds from the pre-chunk snapshot.
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+
+    easy = dataclasses.replace(problem, stop_rel_err=0.9)  # fires at it 0
+    cfg = SMALL.replace(iterations=10)
+    s = NODEWANSolver(cfg, easy, work_dir=str(tmp_path / "a"))
+    m = s.train_chunked(10, chunk=5)
+    assert m["iterations_run"] == 1
+    assert int(s.state.step) == 1  # NOT 5: state rewound to the stop point
+
+    # the rewound state equals a straight 1-iteration run (same seed)
+    s2 = NODEWANSolver(cfg, easy, work_dir=str(tmp_path / "b"))
+    st, _ = s2._outer(jax.tree.map(jnp.copy, s2.state))
+    for a, b in zip(jax.tree.leaves(s.state.u_params),
+                    jax.tree.leaves(st.u_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
 def test_chunked_best_checkpoint_is_midchunk_best(problem, tmp_path):
     # best_model_weights must hold the params of the iteration whose
     # loss_u was the run's best — not the end-of-chunk state (train()

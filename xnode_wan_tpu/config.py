@@ -150,8 +150,18 @@ class SolverConfig:
                                 # measured FASTER (22.2 -> 16.3 ms/iter,
                                 # d=5 N_r=4000) because the step is
                                 # HBM-bandwidth-bound, and O(1)-in-L memory
-    scan_unroll: int = 0        # scan unroll factor; 0 = fully unroll the
-                                # L-step time loop (measured best at L=20)
+    scan_unroll: int = 1        # unroll factor of the XLA time-loop scan
+                                # (0 = fully unroll). Default 1: measured
+                                # strictly better on BOTH paths at d=5 —
+                                # fused kernel active (scan carries only
+                                # the boundary term): compile 9.6 s vs
+                                # 24.2 s full-unroll at an equal 6 ms
+                                # step; XLA fallback: compile 21.3 s vs
+                                # 91.1 s AND the step 21% faster (6.9 vs
+                                # 8.7 ms) — benchmarks/compile_budget
+                                # .json (supersedes the round-1 full-
+                                # unroll recommendation, which predates
+                                # the fused kernel + remat restructuring)
     fourier_features: int = 0   # K>0: append sin/cos(k*pi/2*x), k=1..K to
                                 # the ODE-field input — spectral features
                                 # for high-d oscillatory targets (the d=20

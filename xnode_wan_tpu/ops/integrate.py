@@ -604,8 +604,12 @@ def integrate(
 ) -> jax.Array:
     """Integrate ``dh/dt = field(t, h)`` to every valid sample time.
 
-    ``unroll=0`` fully unrolls the scan (fastest at the shipped L<=20;
-    measured 16.3 -> 13.3 ms per d=5 outer iteration vs unroll=4).
+    ``unroll=0`` fully unrolls the scan; the shipped default is
+    ``unroll=1`` — measured (round 5, benchmarks/compile_budget.json)
+    strictly better at the d=5 shapes on both the fused-kernel and the
+    XLA training paths: 2.5-4.3x faster compile at an equal-or-faster
+    hot step. (The round-1 full-unroll recommendation predates the fused
+    kernel and the remat restructuring.)
     Returns ``hs [N, L, H]``: the hidden state at each sample time (stale
     carry at masked-invalid positions — callers mask them out).
 

@@ -578,11 +578,25 @@ class NODEWANSolver:
     def train_chunked(self, iterations: int, chunk: int = 20,
                       log: bool = True) -> Mapping[str, float]:
         """Benchmark-grade training loop: ``lax.scan`` chunks of outer
-        iterations, stop criterion checked once per chunk."""
+        iterations, stop criterion checked once per chunk.
+
+        Exact-stop semantics: the device runs whole chunks, so when the
+        stop criterion fires at in-chunk index ``i`` the end-of-chunk
+        state has advanced up to ``chunk - 1 - i`` iterations past the
+        stop point. A pre-chunk snapshot (async on-device copies — no
+        host sync) is kept and, on a mid-chunk stop, ``i + 1`` single
+        iterations are replayed from it so the saved checkpoint
+        (parameters, BOTH Adam states, PRNG, step) is the stop-iteration
+        state — the reference's per-iteration stop semantics
+        (``src/training.py:142-145``), paid only on the stopping chunk.
+        """
         run = self._outer_chunk(chunk)
         last = {}
         done = 0
         while done < iterations:
+            # pre-chunk snapshot for exact-stop replay: jnp.copy enqueues
+            # device-side copies; nothing syncs unless a stop fires
+            state_prev = jax.tree.map(jnp.copy, self.state)
             self.state, best_l, best_p, stacked = run(
                 self.state, jnp.asarray(self.best_l, jnp.float32))
             ms = jax.device_get(stacked)
@@ -598,6 +612,14 @@ class NODEWANSolver:
                     self.logger.log(done - chunk + i, m)
                 last = m
                 if self._should_stop(m):
+                    if i < chunk - 1:
+                        # rewind to the stop iteration: replay i+1 single
+                        # steps from the pre-chunk snapshot (same PRNG
+                        # path -> same trajectory)
+                        state = state_prev
+                        for _ in range(i + 1):
+                            state, _ = self._outer(state)
+                        self.state = state
                     self._save_best()
                     self.save_checkpoint()
                     if log:
