@@ -176,6 +176,58 @@ def test_forward_only_kernel_compiled():
                                    atol=VAL_ATOL)
 
 
+@pytest.mark.parametrize("solver_name", ["dopri5", "adams"])
+def test_adaptive_solvers_compiled_on_chip(solver_name):
+    """The adaptive integrators (always the XLA path — the fused kernel
+    excludes them) compiled for the chip: dopri5's bounded accept/reject
+    fori_loop and the VCABM adaptive-order multistep must match a fine
+    fixed-grid rk4 reference on the same hardware (round-4 VERDICT
+    item 7; reference method surface src/model.py:103-106)."""
+    # ode_max_steps=64: the VCABM needs ~2x dopri5's attempt budget on
+    # this field at rtol 1e-6 (its order ramp restarts per interval);
+    # strict=True makes budget exhaustion NaN-loud instead of silently
+    # taking forced unchecked steps (measured: max_steps=24 non-strict
+    # degrades to 1.5e-2 error, 64 reaches 5e-6).
+    cfg = SolverConfig(dim=3, shape_param=(-1.0, 1.0), solver=solver_name,
+                      ode_rtol=1e-6, ode_atol=1e-8, ode_max_steps=64,
+                      ode_strict=True, **BASE)
+    prob = load_problem("cube_pde", dim=3)
+    dom = make_domain("Hypercube", (-1.0, 1.0), 3, cfg.T0, cfg.T, cfg.N_t)
+    batch = dom.interior(jax.random.PRNGKey(0), 24)
+    params = init_xnode(jax.random.PRNGKey(1), cfg)
+    fine = cfg.replace(solver="rk4", min_steps=40)  # n_sub = 16 per interval
+    with jax.default_matmul_precision("highest"):
+        u_ad = jax.jit(lambda p: apply_xnode(p, batch, prob, cfg))(params)
+        u_ref = jax.jit(lambda p: apply_xnode(p, batch, prob, fine))(params)
+        m = batch.mask.astype(jnp.float32)
+        np.testing.assert_allclose(np.asarray(u_ad * m),
+                                   np.asarray(u_ref * m), atol=5e-4)
+        # reverse-mode through the compiled adaptive solver stays usable
+        g = jax.jit(jax.grad(
+            lambda p: jnp.sum((apply_xnode(p, batch, prob, cfg)
+                               * batch.mask) ** 2)))(params)
+        assert all(bool(jnp.isfinite(x).all()) for x in jax.tree.leaves(g))
+
+
+@pytest.mark.parametrize("solver_name", ["dopri5", "adams"])
+def test_adaptive_training_on_chip(solver_name, tmp_path):
+    """End-to-end compiled training with the adaptive solvers on the TPU:
+    losses finite, rel-err decisively improved after 30 iterations."""
+    from xnode_wan_tpu.training import NODEWANSolver
+
+    cfg = SolverConfig(dim=2, shape_param=(-1.0, 1.0), N_t=10, N_r=256,
+                       N_b=256, u_hidden_dim=16, u_hidden_hidden_dim=10,
+                       u_layers=3, v_layers=4, v_hidden_dim=20,
+                       min_steps=5, iterations=30, alpha=1e5,
+                       u_rate=0.015, v_rate=0.04, n1=2, n2=1,
+                       solver=solver_name)
+    prob = load_problem("Ex4_1_funcs", dim=2)
+    solver = NODEWANSolver(cfg, prob, work_dir=str(tmp_path))
+    m = solver.train(report=False)
+    assert np.isfinite(m["loss_u"]) and np.isfinite(m["rel_err"])
+    assert m["rel_err"] < 0.3
+
+
 def test_training_step_fused_end_to_end(tmp_path):
     """A real fused training run on the chip: the weak_form gate picks the
     Pallas path (backend is tpu, defaults on), losses stay finite and the
