@@ -64,10 +64,30 @@ def load_reference(name):
             "n_r": d["n_r"], "backend": d["backend"]}
 
 
+def load_parity():
+    """The all-parity-flags f64 CPU trajectory (run_parity.py), if run."""
+    path = os.path.join(HERE, "convergence_d5_parity.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        d = json.load(fh)
+    rel = d["trajectory"]["rel_err"]
+    per_iter = d["wall_s"] / max(len(rel), 1)
+    return {"rel_l2": rel,
+            "seconds": [per_iter * (k + 1) for k in range(len(rel))],
+            "wall_s": d["wall_s"], "iterations": d["iterations"],
+            "device": d.get("device"),
+            "parity_flags": d.get("parity_flags")}
+
+
 def main():
     ours = load_ours()
     out = {"ours": {**ours,
                     "iters_to": _first_below(ours["rel_l2"], MILESTONES)}}
+    parity = load_parity()
+    if parity is not None:
+        parity["iters_to"] = _first_below(parity["rel_l2"], MILESTONES)
+        out["ours_parity_f64"] = parity
     for name, key in (("reference_d5_nr4000.json", "reference_nr4000"),
                       ("reference_d5_nr400.json", "reference_nr400")):
         ref = load_reference(name)

@@ -34,6 +34,11 @@ def main():
                     choices=["none", "drop_lr", "reinit_v", "restart"],
                     help="train_until stall self-healing (drop_lr = the "
                          "automatic two-phase lr recipe inside the solver)")
+    ap.add_argument("--max-lr-drops", type=int, default=1)
+    ap.add_argument("--drop-lr-at", type=float, default=0.0,
+                    help="milestone-triggered 10x lr drop: fires the "
+                         "first time the rel-err crosses this value "
+                         "(the paper-style refinement handoff)")
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args()
 
@@ -67,7 +72,9 @@ def main():
     solver = NODEWANSolver(cfg, problem, work_dir="/tmp/scenario_run")
     t0 = time.time()
     hist = solver.train_until(args.tol, args.max_iters, window=args.window,
-                              stall_action=args.stall_action)
+                              stall_action=args.stall_action,
+                              max_lr_drops=args.max_lr_drops,
+                              drop_lr_at=args.drop_lr_at)
     phase2 = None
     if (args.fine_tune_tol is not None
             and hist["rel_err_final"] < args.tol):
@@ -120,6 +127,7 @@ def main():
                    + ("".join(" " + kv for kv in args.overrides)),
         "fine_tune": phase2,
         "stall_action": args.stall_action,
+        "lr_drops_at": [int(x) for x in hist.get("lr_drops_at", [])],
         "converged": hist["rel_err_final"] < final_tol,
         "rel_err_final": float(hist["rel_err_final"]),
         "best_rel_err": min(rel) if rel else None,

@@ -442,7 +442,7 @@ def test_stall_test_sees_full_windows_under_tiny_dispatches(
 
     seen = []
 
-    def recorder(rel_window, best_rel):
+    def recorder(rel_window, best_rel, margin_sd=2.0):
         seen.append(len(np.asarray(rel_window)))
         return False
 
