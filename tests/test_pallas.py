@@ -122,6 +122,12 @@ def test_fused_gate_single_predicate():
     assert mesh_ok and fmesh is mesh
     _, fmesh, mesh_ok = fused_gate(SolverConfig(ensemble=2, **base), mesh)
     assert not mesh_ok and fmesh is None
+
+    # ensemble > 1 excludes the kernel even without a mesh: the member
+    # vmap multiplies the kernel's scoped-VMEM stack by K (measured
+    # Mosaic compile failure at d=20 ensemble=4)
+    use, _, _ = fused_gate(SolverConfig(ensemble=2, **base), None)
+    assert not use
     other = Mesh(devs, ("member",))
     _, fmesh, mesh_ok = fused_gate(SolverConfig(**base), other)
     assert not mesh_ok and fmesh is None

@@ -79,8 +79,14 @@ def fused_gate(cfg: SolverConfig, mesh):
             and all(size == 1 for ax, size in mesh.shape.items()
                     if ax != cfg.data_axis)):
         fused_mesh, mesh_ok = mesh, True
+    # ensemble > 1 excludes the kernel even WITHOUT a mesh: the member
+    # vmap materializes the K axis inside the kernel block, multiplying
+    # the scoped-VMEM stack footprint _geom_fits budgets per call by K —
+    # measured: d=20 ensemble=4 exceeds Mosaic's 16 MB limit by 104 KB
+    # (compile failure). The XLA path handles the vmapped members fine.
     use_fused = (cfg.primal == "xnode" and cfg.fused_grad and not cfg.x64
                  and cfg.solver in FUSED_KERNEL_METHODS
+                 and cfg.ensemble == 1
                  and mesh_ok and jax.default_backend() == "tpu")
     return use_fused, fused_mesh, mesh_ok
 
