@@ -37,7 +37,13 @@ def probe(name, **over):
     t_build0 = time.time()
     solver = build_solver(**over)
     build_s = time.time() - t_build0
-    out = {"variant": name, "build_s": round(build_s, 2)}
+    # record the RESOLVED config knobs: the default scan_unroll changed
+    # 0 -> 1 in round 5, so "baseline" rows from different commits are
+    # only comparable through this field
+    out = {"variant": name, "build_s": round(build_s, 2),
+           "scan_unroll_resolved": solver.cfg.scan_unroll,
+           "fused_grad_resolved": solver.cfg.fused_grad,
+           "remat_resolved": solver.cfg.remat_scan}
 
     # 1) the single outer-step program (train() per-iteration path)
     t0 = time.time()

@@ -124,9 +124,15 @@ def main():
                       if args.fine_tune_tol is not None else "")
                    + (f" --stall-action {args.stall_action}"
                       if args.stall_action != "none" else "")
+                   + (f" --max-lr-drops {args.max_lr_drops}"
+                      if args.max_lr_drops != 1 else "")
+                   + (f" --drop-lr-at {args.drop_lr_at}"
+                      if args.drop_lr_at > 0 else "")
                    + ("".join(" " + kv for kv in args.overrides)),
         "fine_tune": phase2,
         "stall_action": args.stall_action,
+        "max_lr_drops": args.max_lr_drops,
+        "drop_lr_at": args.drop_lr_at,
         "lr_drops_at": [int(x) for x in hist.get("lr_drops_at", [])],
         "converged": hist["rel_err_final"] < final_tol,
         "rel_err_final": float(hist["rel_err_final"]),

@@ -123,11 +123,23 @@ def test_fused_gate_single_predicate():
     _, fmesh, mesh_ok = fused_gate(SolverConfig(ensemble=2, **base), mesh)
     assert not mesh_ok and fmesh is None
 
-    # ensemble > 1 excludes the kernel even without a mesh: the member
-    # vmap multiplies the kernel's scoped-VMEM stack by K (measured
-    # Mosaic compile failure at d=20 ensemble=4)
+    # ensemble > 1 excludes the kernel even without a mesh (the member
+    # vmap overflows the scoped-VMEM stack at full-program pressure —
+    # measured Mosaic failure at d=20 K=4 N_r=4000)
     use, _, _ = fused_gate(SolverConfig(ensemble=2, **base), None)
-    assert not use
+    assert use is False or jax.default_backend() != "tpu"
+
+    # ...and the per-geometry estimate scales with `members` so a future
+    # relaxation of the gate inherits a K-aware budget
+    from xnode_wan_tpu.models.xnode import init_xnode
+    from xnode_wan_tpu.ops.pallas.xnode_train import fused_fits
+
+    cfg20 = SolverConfig(dim=20, N_t=20, N_r=64, N_b=64, min_steps=5,
+                         shape_param=(-1.0, 1.0))
+    p20 = init_xnode(jax.random.PRNGKey(0), cfg20)
+    assert fused_fits(p20, cfg20.N_t, 20, 20, cfg20.n_sub, "midpoint")
+    assert not fused_fits(p20, cfg20.N_t, 20, 20, cfg20.n_sub, "midpoint",
+                          members=4)
     other = Mesh(devs, ("member",))
     _, fmesh, mesh_ok = fused_gate(SolverConfig(**base), other)
     assert not mesh_ok and fmesh is None

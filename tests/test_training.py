@@ -424,11 +424,11 @@ def test_train_until_stall_drop_lr(problem, tmp_path):
     s = NODEWANSolver(frozen, problem, work_dir=str(tmp_path))
     s.train_until(1e-9, 40, window=4, stall_action="drop_lr",
                   max_lr_drops=2)
-    # 10 windows all stalled, but only max_lr_drops drops applied
+    # every window stalled, but only max_lr_drops drops applied
     assert s.cfg.u_rate == pytest.approx(1e-30 * 0.01)
     assert s.cfg.v_rate == pytest.approx(1e-30 * 0.01)
-    # constant-lr drop reuses the compiled window program (no rebuild)
-    assert s._train_until_cache, "program cache was cleared by the drop"
+    # each drop switches to the 0.99 refinement decay schedule
+    assert s.cfg.lr_decay == pytest.approx(0.99)
 
 
 def test_stall_test_sees_full_windows_under_tiny_dispatches(

@@ -541,7 +541,7 @@ _STAGES = {"euler": 1, "midpoint": 2, "heun": 2, "rk4": 4}
 
 
 def _geom_fits(L: int, dc: int, H: int, F: int, width: int, n_field: int,
-               n_sub: int, method: str) -> bool:
+               n_sub: int, method: str, members: int = 1) -> bool:
     """Whether the backward kernel fits the ~16 MB scoped-VMEM stack at
     the minimum block size when carrying ``dc`` tangent directions.
 
@@ -553,6 +553,11 @@ def _geom_fits(L: int, dc: int, H: int, F: int, width: int, n_field: int,
     against Mosaic's reported scoped allocations on the d=50 cube and
     wide-field d=20 configs, gates those geometries off before that
     happens.
+
+    ``members``: an ``ensemble: K`` run vmaps the kernel over members,
+    which materializes the K axis inside the block and multiplies the
+    scoped stack by K (measured: d=20 K=4 overflows Mosaic's 16 MB limit
+    by 104 KB while d=5 K=4 fits) — so the budget scales down by K.
     """
     block = _pick_block(L, dc, H)
     lanes = block * (1 + dc)
@@ -560,7 +565,7 @@ def _geom_fits(L: int, dc: int, H: int, F: int, width: int, n_field: int,
     # residual rows of one interval vjp: field-MLP layer inputs + output
     rows = (F + H + 1) + width * (n_field - 1) + H
     transient = 1.6 * _STAGES[method] * n_sub * rows * lanes * 4
-    return store + transient <= 12 * 2 ** 20
+    return members * (store + transient) <= 12 * 2 ** 20
 
 
 def _geometry(params) -> Tuple[int, int, int]:
@@ -571,16 +576,17 @@ def _geometry(params) -> Tuple[int, int, int]:
 
 
 def fused_fits(params, L: int, d: int, F: int, n_sub: int,
-               method: str) -> bool:
+               method: str, members: int = 1) -> bool:
     """Whether the FULL-``d`` backward kernel fits scoped VMEM (see
     :func:`_geom_fits`); when it doesn't, :func:`fused_chunk` may still
     find a tangent-chunked geometry that does."""
     H, n_field, width = _geometry(params)
-    return _geom_fits(L, d, H, F, width, n_field, n_sub, method)
+    return _geom_fits(L, d, H, F, width, n_field, n_sub, method,
+                      members=members)
 
 
 def fused_chunk(params, L: int, d: int, F: int, n_sub: int,
-                method: str):
+                method: str, members: int = 1):
     """Largest divisor ``dc`` of ``d`` whose kernel geometry fits scoped
     VMEM, or ``None`` if even one tangent direction per call does not.
 
@@ -595,7 +601,7 @@ def fused_chunk(params, L: int, d: int, F: int, n_sub: int,
     H, n_field, width = _geometry(params)
     for dc in range(d, 0, -1):
         if d % dc == 0 and _geom_fits(L, dc, H, F, width, n_field,
-                                      n_sub, method):
+                                      n_sub, method, members=members):
             return dc
     return None
 

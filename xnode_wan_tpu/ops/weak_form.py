@@ -79,11 +79,16 @@ def fused_gate(cfg: SolverConfig, mesh):
             and all(size == 1 for ax, size in mesh.shape.items()
                     if ax != cfg.data_axis)):
         fused_mesh, mesh_ok = mesh, True
-    # ensemble > 1 excludes the kernel even WITHOUT a mesh: the member
-    # vmap materializes the K axis inside the kernel block, multiplying
-    # the scoped-VMEM stack footprint _geom_fits budgets per call by K —
-    # measured: d=20 ensemble=4 exceeds Mosaic's 16 MB limit by 104 KB
-    # (compile failure). The XLA path handles the vmapped members fine.
+    # ensemble > 1 excludes the kernel even WITHOUT a mesh. The member
+    # vmap materializes the K axis inside the kernel's scoped-VMEM stack;
+    # measured at d=20 K=4 N_r=4000 the FULL vmapped training step
+    # overflows Mosaic's 16 MB limit by 104 KB (compile failure), while
+    # the same kernel compiles in isolation at smaller N — i.e. the
+    # overflow depends on whole-program pressure the per-kernel estimate
+    # (_geom_fits, which now takes `members`) cannot see, so the gate
+    # stays conservative rather than risking a mid-run compile failure.
+    # The XLA path handles vmapped members fine, and no ensemble config
+    # has measured the fused kernel beating XLA.
     use_fused = (cfg.primal == "xnode" and cfg.fused_grad and not cfg.x64
                  and cfg.solver in FUSED_KERNEL_METHODS
                  and cfg.ensemble == 1
@@ -405,7 +410,7 @@ def make_losses(problem, domain, cfg: SolverConfig, u_apply: Callable,
             d = batch.space.shape[-1]
             F = d * (1 + 2 * cfg.fourier_features)
             dc = fused_chunk(u_params, batch.times.shape[1], d, F,
-                             cfg.n_sub, cfg.solver)
+                             cfg.n_sub, cfg.solver, members=cfg.ensemble)
             if dc == d:
                 return fused_from_batch(u_params, batch, problem, cfg,
                                         mesh=fused_mesh,

@@ -602,10 +602,16 @@ class NODEWANSolver:
         run = self._outer_chunk(chunk)
         last = {}
         done = 0
+        # Exact-stop replay needs a pre-chunk snapshot only when a stop
+        # criterion can actually fire; without one the non-stopping path
+        # stays copy-free.
+        has_stop = (self.problem.stop_rel_err is not None
+                    or self.stop is not None)
         while done < iterations:
             # pre-chunk snapshot for exact-stop replay: jnp.copy enqueues
             # device-side copies; nothing syncs unless a stop fires
-            state_prev = jax.tree.map(jnp.copy, self.state)
+            state_prev = (jax.tree.map(jnp.copy, self.state)
+                          if has_stop else None)
             self.state, best_l, best_p, stacked = run(
                 self.state, jnp.asarray(self.best_l, jnp.float32))
             ms = jax.device_get(stacked)
@@ -671,9 +677,11 @@ class NODEWANSolver:
           times. This is the two-phase refinement recipe the hourglass
           and d=20 product-of-sines runs need (flat-lr adversarial
           dynamics oscillate at 1-2.5x the target near convergence),
-          triggered automatically instead of by harness plumbing. The
-          drop writes the new rate into the optimizer *state*, so every
-          compiled program is reused — no recompile mid-run.
+          triggered automatically instead of by harness plumbing. Each
+          drop also switches to the mild 0.99 decay schedule the
+          hand-tuned recipe used, which REBUILDS the compiled programs —
+          one ~15 s recompile per drop at the scan_unroll=1 default
+          (capped by ``max_lr_drops``, so bounded).
           ``max_lr_drops`` defaults to ONE drop: measured on the
           hourglass, a second stall-triggered drop (100x down) freezes
           the adversary and the min-max slowly diverges (best 1.01% at
@@ -793,10 +801,12 @@ class NODEWANSolver:
             # (``ensemble`` is the *principled* multi-start and supersedes
             # these heuristics — per-member healing doesn't apply.)
             stalled = False
+            window_evaluated = False
             if stall_action != "none" and self.cfg.ensemble == 1:
                 stall_buf.append(h["rel_err"][:k])
                 stall_n += k
                 if stall_n >= min(window, max_iters):
+                    window_evaluated = True
                     traj = np.concatenate(stall_buf)
                     # Triggering an intervention needs the conservative
                     # 2-sigma certification; deciding to GIVE UP after
@@ -838,7 +848,13 @@ class NODEWANSolver:
                     give_up_windows += 1
                     if give_up_windows >= 3:
                         break
-            if not stalled:
+            if window_evaluated and not stalled:
+                # Only a COMPLETED window evaluation that found progress
+                # resets the patience counter — dispatches smaller than
+                # the window (the dynamic cap on slow-step configs)
+                # accumulate without evaluating and must not wipe it, or
+                # the give-up could never trigger exactly where the cap
+                # is active.
                 give_up_windows = 0
             if stalled and stall_action == "reinit_v":
                 key, kv = jax.random.split(self.state.key)
@@ -858,8 +874,10 @@ class NODEWANSolver:
                for name, parts in chunks.items()}
         out["iterations_run"] = done
         out["rel_err_final"] = rel
-        if stall_action == "drop_lr":
-            out["lr_drops_at"] = lr_drop_iters
+        # Always recorded: a milestone drop (drop_lr_at) can fire under
+        # ANY stall_action, and an unrecorded 10x regime change would
+        # make the trajectory unexplainable from the run metadata.
+        out["lr_drops_at"] = lr_drop_iters
         # wall-clock of the training loop itself, i.e. time-to-tolerance:
         # excludes the final best/checkpoint artifact writes below (they
         # happen after the stop criterion is met)
